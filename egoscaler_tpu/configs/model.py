@@ -120,3 +120,20 @@ class PointLLMConfig:
                 npoints=256,
             ),
         )
+
+    def flagship_tpu(self) -> "PointLLMConfig":
+        """Single-v5e-lite flagship: full PointBERT encoder (the reference's
+        8192-point/512-group config) + a ~1.1B LLaMA trunk that fits one
+        16 GB chip in bf16 with activations.  The full 7B config (default
+        `llama`) is used when sharded over a multi-chip mesh."""
+        return dataclasses.replace(
+            self,
+            llama=dataclasses.replace(
+                self.llama,
+                hidden_size=2048,
+                intermediate_size=5504,
+                num_hidden_layers=16,
+                num_attention_heads=16,
+                num_key_value_heads=16,
+            ),
+        )

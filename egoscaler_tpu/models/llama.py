@@ -1,0 +1,183 @@
+"""LLaMA decoder in flax, TPU-first.
+
+Rebuild of the reference's HF LLaMA usage (transformers LlamaModel inside
+PointLLMLlamaModel — models/pointllm/pointllm/model/pointllm.py:26-178)
+as an explicit, jit-friendly decoder:
+
+* functional KV cache (a pytree passed in/out — no mutable state), so
+  prefill + `lax.scan` decode compile to two XLA programs with static
+  shapes (SURVEY.md §7 hard part (e));
+* attention via ops.attention (Pallas flash kernel on TPU; general
+  (B, T) key-padding masks supported for mid-sequence pads — the
+  reference right-pads description tokens mid-prompt, dataset.py:150-194);
+* rotary embeddings in HF convention so converted checkpoints match;
+* layers wrapped in `jax.checkpoint` (remat) during training to trade
+  FLOPs for HBM (replaces DeepSpeed activation tricks).
+
+Weight layout mirrors HF names (q_proj/k_proj/v_proj/o_proj,
+gate_proj/up_proj/down_proj, input_layernorm, post_attention_layernorm)
+for the torch->jax converter.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from egoscaler_tpu.configs import LlamaConfig
+from egoscaler_tpu.ops.attention import (
+    apply_rope,
+    make_causal_mask,
+    rope_table,
+    xla_attention,
+)
+
+KVCache = Dict[str, jax.Array]  # {"k": (L, B, T, H, D), "v": ...}
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dtype = x.dtype
+        x = x.astype(jnp.float32)
+        var = jnp.mean(x * x, axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        return (x * w).astype(dtype)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        positions: jax.Array,
+        kv_mask: Optional[jax.Array],
+        cache_k: Optional[jax.Array],
+        cache_v: Optional[jax.Array],
+        cache_index: Optional[jax.Array],
+    ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+        cfg = self.cfg
+        b, s, _ = x.shape
+        h, hd = cfg.num_attention_heads, cfg.head_dim
+        q = nn.Dense(h * hd, use_bias=False, name="q_proj")(x).reshape(b, s, h, hd)
+        k = nn.Dense(h * hd, use_bias=False, name="k_proj")(x).reshape(b, s, h, hd)
+        v = nn.Dense(h * hd, use_bias=False, name="v_proj")(x).reshape(b, s, h, hd)
+
+        cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        if cache_k is not None:
+            # write this step's k/v at cache_index, attend over the cache
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+            )
+            k_full, v_full = cache_k, cache_v
+            t = k_full.shape[1]
+            q_pos = cache_index + jnp.arange(s)
+            causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
+        else:
+            k_full, v_full = k, v
+            t = s
+            causal = make_causal_mask(s, s)[None, None]
+
+        mask = causal
+        if kv_mask is not None:
+            mask = mask & kv_mask[:, None, None, :t]
+        out = xla_attention(q, k_full, v_full, mask=mask)
+        out = out.reshape(b, s, h * hd)
+        out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
+        return out, cache_k, cache_v
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cfg = self.cfg
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False, name="gate_proj")(x)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj")(x)
+        return nn.Dense(cfg.hidden_size, use_bias=False, name="down_proj")(
+            nn.silu(gate) * up
+        )
+
+
+class LlamaDecoderLayer(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, positions, kv_mask, cache_k, cache_v, cache_index):
+        h, ck, cv = LlamaAttention(self.cfg, name="self_attn")(
+            RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
+            positions, kv_mask, cache_k, cache_v, cache_index,
+        )
+        x = x + h
+        h = LlamaMLP(self.cfg, name="mlp")(
+            RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        )
+        return x + h, ck, cv
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack operating on input embeddings.
+
+    Token embedding lives in the fused PointLLM wrapper (it owns the
+    extended trajectory vocabulary); this module is purely the layers.
+    """
+
+    cfg: LlamaConfig
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jax.Array,
+        positions: jax.Array,
+        kv_mask: Optional[jax.Array] = None,
+        cache: Optional[KVCache] = None,
+        cache_index: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Optional[KVCache]]:
+        x = inputs_embeds
+        new_k, new_v = [], []
+        layer_cls = LlamaDecoderLayer
+        if self.remat and cache is None:
+            layer_cls = nn.remat(
+                LlamaDecoderLayer, static_argnums=(), prevent_cse=False
+            )
+        for i in range(self.cfg.num_hidden_layers):
+            ck = cache["k"][i] if cache is not None else None
+            cv = cache["v"][i] if cache is not None else None
+            x, ck, cv = layer_cls(self.cfg, name=f"layers_{i}")(
+                x, positions, kv_mask, ck, cv, cache_index
+            )
+            if cache is not None:
+                new_k.append(ck)
+                new_v.append(cv)
+        x = RMSNorm(self.cfg.rms_norm_eps, name="norm")(x)
+        new_cache = (
+            {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+            if cache is not None
+            else None
+        )
+        return x, new_cache
+
+
+def init_kv_cache(
+    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers, batch, max_len,
+        cfg.num_attention_heads, cfg.head_dim,
+    )
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -1,0 +1,170 @@
+"""Pallas TPU flash attention (online-softmax, tiled over KV).
+
+TPU-native replacement for the reference's `flash_attn` CUDA kernels
+(llama_flash_attn_monkey_patch.py:14-107).  Design per the Pallas guide:
+
+* grid (B, H, num_q_blocks); each program streams KV blocks from VMEM
+  while holding a q block and running (max, sum, acc) statistics —
+  classic FlashAttention-2 schedule.
+* MXU matmuls via jnp.dot with preferred_element_type=f32; statistics
+  and accumulation in f32; inputs may be bf16.
+* causal masking and right-padded KV lengths folded into the score mask;
+  with `causal`, KV blocks entirely above the diagonal are skipped via
+  @pl.when (no wasted MXU work).
+
+Backward runs through the same kernel under `jax.custom_vjp`-free
+recomputation: we rely on XLA rematerialization of the forward inside
+`jax.checkpoint` at the call site (the decoder wraps layers in
+jax.checkpoint), so no hand-written bwd kernel is needed for parity;
+a fused bwd kernel is a later optimization.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(
+    len_ref,          # (B, 1) int32 in SMEM (valid kv length per batch)
+    q_ref,            # (1, 1, bq, d)
+    k_ref,            # (1, 1, T, d)
+    v_ref,            # (1, 1, T, d)
+    o_ref,            # (1, 1, bq, d)
+    *,
+    block_kv: int,
+    causal: bool,
+    q_offset: int,
+    scale: float,
+    kv_len_static: int,
+):
+    qi = pl.program_id(2)
+    bq = q_ref.shape[2]
+    d = q_ref.shape[3]
+    num_kv_blocks = kv_len_static // block_kv
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+    kv_valid = len_ref[pl.program_id(0), 0]
+
+    def body(ki, carry):
+        m_prev, l_prev, acc = carry
+        k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (bq, bkv)
+
+        kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, block_kv), 1
+        )
+        mask = kv_pos < kv_valid
+        if causal:
+            q_pos = q_offset + qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 0
+            )
+            mask = mask & (kv_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+
+        m_cur = jnp.max(s, axis=-1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p, v_blk, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    if causal:
+        # skip kv blocks strictly above this q block's last row
+        last_q_pos = q_offset + (qi + 1) * bq - 1
+        needed = jnp.minimum(
+            (last_q_pos // block_kv) + 1, num_kv_blocks
+        )
+    else:
+        needed = num_kv_blocks
+
+    m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)[:, None]
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "q_offset", "scale", "block_q", "block_kv")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_offset: int = 0,
+    kv_lengths: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+) -> jax.Array:
+    """Flash attention on (B, S, H, D) / (B, T, H, D) inputs.
+
+    S and T are padded to block multiples internally; `kv_lengths` (B,)
+    masks right padding (defaults to T).
+    """
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale = float(d ** -0.5 if scale is None else scale)
+
+    s_pad = -(-s // block_q) * block_q
+    t_pad = -(-t // block_kv) * block_kv
+    if kv_lengths is None:
+        kv_lengths = jnp.full((b,), t, jnp.int32)
+    qp = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+
+    # BSHD -> BHSD for blocking
+    qp = jnp.swapaxes(qp, 1, 2)
+    kp = jnp.swapaxes(kp, 1, 2)
+    vp = jnp.swapaxes(vp, 1, 2)
+
+    grid = (b, h, s_pad // block_q)
+    kernel = functools.partial(
+        _flash_kernel,
+        block_kv=block_kv,
+        causal=causal,
+        q_offset=q_offset,
+        scale=scale,
+        kv_len_static=t_pad,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, t_pad, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, t_pad, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+    )(kv_lengths.reshape(b, 1).astype(jnp.int32), qp, kp, vp)
+
+    out = jnp.swapaxes(out, 1, 2)[:, :s]
+    return out

@@ -1,0 +1,94 @@
+"""Parameter / optimizer partition rules (Megatron-style TP + ZeRO DP).
+
+The reference ships DeepSpeed ZeRO-1 (train.py:91-104) and a degenerate
+tp_size=1 tensor-parallel path (evaluate.py:84-88); the LLaMA-70B
+annotation stages use fairscale model parallelism (SURVEY.md §2.4).
+Here, one rule table covers all of it:
+
+* `model` axis shards attention heads and MLP intermediate dims
+  (column-parallel q/k/v/gate/up, row-parallel o/down) and the
+  vocabulary dim of embed/lm_head;
+* everything else is replicated across `model`;
+* optimizer state is additionally sharded over `data` (ZeRO-1) by
+  applying `zero_sharding` to the optax state tree.
+
+Rules are path-regex -> PartitionSpec, applied to a flax param pytree.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (regex over 'a/b/c' param path, spec) — first match wins.
+LLAMA_RULES: Tuple[Tuple[str, P], ...] = (
+    # column-parallel: output dim sharded over model axis
+    (r".*(q_proj|k_proj|v_proj)/kernel$", P(None, "model")),
+    (r".*(gate_proj|up_proj)/kernel$", P(None, "model")),
+    # row-parallel: input dim sharded
+    (r".*(o_proj|down_proj)/kernel$", P("model", None)),
+    # extended vocab embedding / head: shard vocab dim
+    (r".*embed_tokens/embedding$", P("model", None)),
+    (r".*lm_head/kernel$", P(None, "model")),
+    # point backbone + projector: small, replicated
+    (r".*", P()),
+)
+
+
+def spec_for_path(path: str, rules=LLAMA_RULES) -> P:
+    for pattern, spec in rules:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_specs(params: Any, rules=LLAMA_RULES) -> Any:
+    """Pytree of PartitionSpec matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for_path(_path_str(path), rules), params
+    )
+
+
+def param_shardings(mesh: Mesh, params: Any, rules=LLAMA_RULES) -> Any:
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), param_specs(params, rules),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def zero_spec_for_param(spec: P, shape: Tuple[int, ...]) -> P:
+    """ZeRO-1: additionally shard optimizer-state leaves over `data` on
+    the largest unsharded dim (if divisible at runtime XLA handles the
+    uneven case by replication fallback — we only annotate clean dims)."""
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    for i, d in enumerate(dims):
+        if d is None:
+            dims[i] = "data"
+            return P(*dims)
+    return spec
+
+
+def optimizer_specs(params: Any, rules=LLAMA_RULES) -> Any:
+    """Specs for optimizer moment tensors (same shape as params) with the
+    extra `data` axis sharding (ZeRO-1 analogue)."""
+    specs = param_specs(params, rules)
+    return jax.tree_util.tree_map(
+        lambda spec, p: zero_spec_for_param(spec, p.shape),
+        specs,
+        params,
+        is_leaf=lambda x: isinstance(x, P),
+    )

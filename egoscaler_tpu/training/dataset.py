@@ -1,0 +1,352 @@
+"""Trajectory dataset: host-side loading + fixed-layout batch assembly.
+
+Rebuild of the reference dataset stack (models/utils/dataset_base.py,
+models/pointllm/dataset.py) with the missing pieces defined explicitly
+(SURVEY.md §8.1: `__getitem__`/`tokenize_traj`/`detokenize_traj` are
+absent from the snapshot; we reconstruct them from constant.py +
+pointllm/utils/utils.py + the collate_fn).
+
+TPU-first batch layout — every sample has the SAME static geometry:
+
+  [point_start][<patch> x Npt][point_end][desc x max_desc][<sep>]
+  [<ts>][wp0 bins x 6][<tsep>] | [wp bins+seps ...][<te>][eos][pad...]
+  '------------- prompt P tokens -------------'  '-- answer A tokens --'
+
+The prompt/answer split at the first <tsep> matches dataset.py:180-182
+(the initial waypoint conditions generation).  Because `num_steps`
+trajectories are resampled to exactly 20 waypoints, the answer length is
+constant, so the whole batch is one static shape and the train step
+compiles once.
+
+Data on disk follows the reference layout (README egoscaler/data:96-152):
+  {split}.json          COCO-style: images[{id, file_name, ...}],
+                        annotations[{image_id, action_description, ...}]
+  pcrgbs/...npy         (N, 6) colored point cloud per sample
+  trajs/...pkl          {init_bbox, traj_quat, traj_rotvec}
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from egoscaler_tpu.configs import PointLLMConfig, TrajTokenConfig, WorkspaceConfig
+from egoscaler_tpu.geometry.traj import preprocess_traj, smoothing_traj
+from egoscaler_tpu.models.pointbert import pc_norm
+from egoscaler_tpu.models.traj_tokenizer import (
+    TrajTokenizer,
+    denormalize_traj,
+    normalize_traj,
+)
+
+# LLaMA special ids
+BOS_ID = 1
+EOS_ID = 2
+PAD_ID = 0
+
+
+class HashTextTokenizer:
+    """Deterministic, dependency-free text tokenizer.
+
+    Maps whitespace words into stable ids in [100, vocab_limit) via FNV
+    hashing.  Stands in for the LLaMA BPE tokenizer when the PointLLM
+    checkpoint assets aren't on disk (zero-egress environments); swap in
+    `HFTextTokenizer` for checkpoint-parity runs.
+    """
+
+    def __init__(self, vocab_limit: int = 30000):
+        self.vocab_limit = vocab_limit
+
+    def __call__(self, text: str) -> List[int]:
+        out = []
+        for w in text.lower().split():
+            h = 2166136261
+            for c in w.encode():
+                h = ((h ^ c) * 16777619) & 0xFFFFFFFF
+            out.append(100 + h % (self.vocab_limit - 100))
+        return out
+
+
+class HFTextTokenizer:
+    """Adapter over a locally available HF tokenizer (no network)."""
+
+    def __init__(self, path: str):
+        from transformers import AutoTokenizer
+
+        self.tok = AutoTokenizer.from_pretrained(path, local_files_only=True)
+
+    def __call__(self, text: str) -> List[int]:
+        return self.tok(text, add_special_tokens=False).input_ids
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchLayout:
+    """Static token-layout geometry shared by dataset / train / generate."""
+
+    cfg: PointLLMConfig
+
+    @property
+    def n_patch(self) -> int:
+        return self.cfg.point_bert.point_token_len
+
+    @property
+    def desc_slot(self) -> int:
+        return self.cfg.traj.max_desc_token
+
+    @property
+    def prompt_len(self) -> int:
+        # ps + patches + pe + desc + sep + ts + wp0 + tsep
+        return 1 + self.n_patch + 1 + self.desc_slot + 1 + 1 + 6 + 1
+
+    @property
+    def answer_len(self) -> int:
+        # (num_steps - 1) waypoints, each 6 bins + sep/te, + eos
+        n = self.cfg.traj.num_steps
+        return (n - 1) * 7 + 1
+
+    @property
+    def total_len(self) -> int:
+        return self.prompt_len + self.answer_len
+
+
+@dataclasses.dataclass
+class TrajSample:
+    description: str
+    pcrgb: np.ndarray       # (N, 6)
+    traj_rotvec: np.ndarray  # (T, 6)
+    image_id: int = 0
+
+
+class TrajectoryDataset:
+    """CustomDataset equivalent (dataset.py:21-194)."""
+
+    SEP_TOKEN_ID = 32000 - 1  # reserved base-vocab id used as <sep>
+
+    def __init__(
+        self,
+        cfg: PointLLMConfig,
+        samples: Optional[Sequence[TrajSample]] = None,
+        root_dir: Optional[str] = None,
+        split: str = "train",
+        text_tokenizer: Optional[Callable[[str], List[int]]] = None,
+        do_norm: bool = True,
+        do_standard: bool = False,
+        smooth: bool = False,
+        save_dir: Optional[str] = None,
+        seed: int = 0,
+    ):
+        assert not (do_norm and do_standard), (
+            "Cannot enable both normalization methods."  # dataset.py:44
+        )
+        self.cfg = cfg
+        self.layout = BatchLayout(cfg)
+        self.tokenizer = TrajTokenizer(
+            cfg=cfg.traj, base_vocab_size=cfg.llama.vocab_size
+        )
+        self.text_tokenizer = text_tokenizer or HashTextTokenizer()
+        self.do_norm = do_norm
+        self.do_standard = do_standard
+        self.smooth = smooth
+        self.split = split
+        self.save_dir = save_dir
+        self.rng = np.random.default_rng(seed)
+
+        if samples is not None:
+            self.samples = list(samples)
+        else:
+            assert root_dir is not None
+            self.samples = self._load_from_disk(root_dir, split)
+
+        if do_standard:
+            self._init_standardization()
+
+    # ---- disk loading (dataset_base.py:31-104) ----
+    def _load_from_disk(self, root_dir: str, split: str) -> List[TrajSample]:
+        with open(os.path.join(root_dir, f"{split}.json")) as f:
+            coco = json.load(f)
+        id2img = {im["id"]: im for im in coco["images"]}
+        samples = []
+        for ann in coco["annotations"]:
+            im = id2img[ann["image_id"]]
+            stem = os.path.splitext(im["file_name"])[0]
+            pcrgb_path = os.path.join(root_dir, "pcrgbs", stem + ".npy")
+            traj_path = os.path.join(root_dir, "trajs", stem + ".pkl")
+            if not (os.path.exists(pcrgb_path) and os.path.exists(traj_path)):
+                continue
+            with open(traj_path, "rb") as f:
+                traj = pickle.load(f)
+            samples.append(
+                TrajSample(
+                    description=ann["action_description"],
+                    pcrgb=np.load(pcrgb_path).astype(np.float32),
+                    traj_rotvec=np.asarray(traj["traj_rotvec"], np.float32),
+                    image_id=ann["image_id"],
+                )
+            )
+        return samples
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    # ---- normalization (dataset.py:58-124) ----
+    def _prep_traj(self, traj: np.ndarray) -> np.ndarray:
+        t = traj.shape[0]
+        padded = np.zeros((max(t, self.cfg.traj.num_steps), 6), np.float32)
+        padded[:t] = traj
+        out, _ = preprocess_traj(
+            jnp.asarray(padded), t, self.cfg.traj.num_steps
+        )
+        out = np.asarray(out)
+        if self.smooth:
+            out = np.asarray(
+                smoothing_traj(jnp.asarray(out), self.cfg.traj.num_steps)
+            )
+        return out
+
+    def _init_standardization(self):
+        trajs = np.stack([self._prep_traj(s.traj_rotvec) for s in self.samples])
+        self.mean = trajs.mean(axis=(0, 1))
+        self.std = trajs.std(axis=(0, 1)) + 1e-8
+        if self.save_dir:
+            with open(os.path.join(self.save_dir, "norm_param.json"), "w") as f:
+                json.dump({"mean": self.mean.tolist(), "std": self.std.tolist()}, f)
+
+    # ---- the reconstructed tokenize/detokenize pair (SURVEY §8.1) ----
+    def tokenize_traj(self, traj: np.ndarray) -> np.ndarray:
+        """(num_steps, 6) camera-frame -> (1 + 7*num_steps,) token ids."""
+        return np.asarray(self.tokenizer.encode_ids(jnp.asarray(traj)))
+
+    def detokenize_traj(
+        self, text_or_ids, num_bins: int = 256, max_abs=None
+    ) -> Optional[np.ndarray]:
+        """Token ids (np array) or decoded string -> (T, 6) trajectory."""
+        if isinstance(text_or_ids, str):
+            return self.tokenizer.decode_str(text_or_ids)
+        traj, n = self.tokenizer.decode_ids(jnp.asarray(text_or_ids))
+        n = int(n)
+        if n == 0:
+            return None
+        return np.asarray(traj)[:n]
+
+    def denorm(self, traj: np.ndarray, max_abs: Optional[np.ndarray] = None):
+        """dataset.py:126-148."""
+        if self.do_norm:
+            return np.asarray(denormalize_traj(jnp.asarray(traj)))
+        if self.do_standard:
+            out = traj * max_abs[:, None, :]
+            return out * self.std + self.mean
+        return traj
+
+    # ---- sample -> fixed-layout arrays ----
+    def encode_sample(self, s: TrajSample) -> Dict[str, np.ndarray]:
+        cfg, lay, tok = self.cfg, self.layout, self.tokenizer
+        npts = cfg.point_bert.npoints
+
+        pc = s.pcrgb
+        if pc.shape[0] >= npts:
+            sel = self.rng.choice(pc.shape[0], npts, replace=False)
+        else:
+            sel = self.rng.choice(pc.shape[0], npts, replace=True)
+        pc = np.asarray(pc_norm(jnp.asarray(pc[sel])), np.float32)
+
+        traj = self._prep_traj(s.traj_rotvec)
+        traj_ids = self.tokenize_traj(traj)  # [ts] wp0..wp19 w/ seps, [te]
+
+        desc = np.full((lay.desc_slot,), PAD_ID, np.int32)
+        desc_ids = self.text_tokenizer(
+            f"Action description: {s.description}"
+        )[: lay.desc_slot]
+        desc[: len(desc_ids)] = desc_ids
+        desc_mask = desc != PAD_ID
+
+        ids = np.full((lay.total_len,), PAD_ID, np.int32)
+        mask = np.ones((lay.total_len,), bool)
+        pos = 0
+        ids[pos] = cfg.point_start_token_id; pos += 1
+        ids[pos:pos + lay.n_patch] = cfg.point_patch_token_id
+        pos += lay.n_patch
+        ids[pos] = cfg.point_end_token_id; pos += 1
+        ids[pos:pos + lay.desc_slot] = desc
+        mask[pos:pos + lay.desc_slot] = desc_mask
+        pos += lay.desc_slot
+        ids[pos] = self.SEP_TOKEN_ID; pos += 1
+        # prompt tail: <ts> wp0 <tsep>  == first 8 traj token ids
+        ids[pos:pos + 8] = traj_ids[:8]
+        pos += 8
+        assert pos == lay.prompt_len
+        # answer: the rest of the trajectory + eos
+        rest = traj_ids[8:]
+        ids[pos:pos + len(rest)] = rest
+        pos += len(rest)
+        ids[pos] = EOS_ID; pos += 1
+        assert pos == lay.total_len
+
+        return {
+            "input_ids": ids,
+            "attention_mask": mask,
+            "point_clouds": pc,
+            "gt_traj": traj.astype(np.float32),
+            "image_id": np.int32(s.image_id),
+        }
+
+    def batches(
+        self, batch_size: int, shuffle: bool = True, drop_last: bool = True
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.samples))
+        if shuffle:
+            self.rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0),
+                       batch_size):
+            chunk = [self.encode_sample(self.samples[j])
+                     for j in order[i:i + batch_size]]
+            if len(chunk) < batch_size and drop_last:
+                break
+            yield {
+                k: np.stack([c[k] for c in chunk]) for k in chunk[0]
+            }
+
+
+def synthetic_samples(
+    cfg: PointLLMConfig, n: int, seed: int = 0
+) -> List[TrajSample]:
+    """Physically plausible random samples for tests and benchmarks."""
+    ws = WorkspaceConfig()
+    rng = np.random.default_rng(seed)
+    out = []
+    verbs = ["pick up", "move", "rotate", "place", "lift", "push"]
+    objs = ["cup", "bottle", "pan", "wrench", "book", "plate"]
+    for i in range(n):
+        npts = int(rng.integers(cfg.point_bert.npoints // 2,
+                                cfg.point_bert.npoints * 2))
+        pc = np.concatenate(
+            [
+                rng.uniform(-1, 1, (npts, 3)) * [1.5, 1.5, 1.0] + [0, 0, 1.5],
+                rng.uniform(0, 1, (npts, 3)),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        t = int(rng.integers(8, 60))
+        start = np.array([
+            rng.uniform(ws.min_x * 0.4, ws.max_x * 0.4),
+            rng.uniform(ws.min_y * 0.4, ws.max_y * 0.4),
+            rng.uniform(0.5, 2.0),
+        ])
+        delta = rng.normal(scale=0.01, size=(t, 3)).cumsum(axis=0)
+        posn = start + delta
+        rot = rng.normal(scale=0.02, size=(t, 3)).cumsum(axis=0)
+        traj = np.concatenate([posn, rot], axis=1).astype(np.float32)
+        out.append(
+            TrajSample(
+                description=f"{verbs[i % len(verbs)]} the {objs[i % len(objs)]}",
+                pcrgb=pc,
+                traj_rotvec=traj,
+                image_id=i,
+            )
+        )
+    return out
