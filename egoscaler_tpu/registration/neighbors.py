@@ -1,0 +1,54 @@
+"""Radius-limited kNN for masked point sets (Open3D KDTreeSearchParamHybrid
+equivalent: up to max_nn neighbors within a radius — pcm_tools.py:13,21).
+
+On TPU the M x M distance matrix is one MXU matmul; top_k + radius mask
+replaces the KD-tree.  M is the padded voxel-downsample size (<= 4096),
+so the matrix stays modest.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+def hybrid_knn(
+    points: jax.Array,
+    mask: jax.Array,
+    radius: float,
+    max_nn: int,
+    include_self: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """(M,3)+mask -> (M, max_nn) neighbor indices + bool validity.
+
+    Neighbors are the up-to-max_nn nearest valid points within `radius`
+    of each point (including the point itself when include_self, matching
+    Open3D's search semantics for normal estimation).
+    """
+    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    m = points.shape[0]
+    if not include_self:
+        d2 = d2 + jnp.eye(m, dtype=d2.dtype) * _BIG
+    d2 = jnp.where(mask[None, :], d2, _BIG)
+    neg, idx = jax.lax.top_k(-d2, max_nn)
+    dist2 = -neg
+    valid = (dist2 <= radius * radius) & mask[:, None]
+    return idx.astype(jnp.int32), valid
+
+
+def cross_knn(
+    query: jax.Array,
+    query_mask: jax.Array,
+    points: jax.Array,
+    points_mask: jax.Array,
+    k: int = 1,
+) -> Tuple[jax.Array, jax.Array]:
+    """Nearest valid `points` for each `query` row: (Q,k) idx, (Q,k) dist."""
+    d2 = jnp.sum((query[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(points_mask[None, :], d2, _BIG)
+    neg, idx = jax.lax.top_k(-d2, k)
+    dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+    return idx.astype(jnp.int32), dist

@@ -1,0 +1,148 @@
+"""End-to-end trajectory extraction on synthetic rendered clips.
+
+A dense textured world point cloud is splatted into per-frame RGBD
+images under known camera ego-motion; a tracked object moves rigidly.
+The pipeline must cancel the ego-motion and recover the object's world
+trajectory (tolerance-based parity, SURVEY.md §7).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egoscaler_tpu.configs import DataConfig, PCMConfig
+from egoscaler_tpu.pipelines.trajectory import extract_trajectory, validate_tracks
+
+H = W = 96
+F = 80.0
+PP = 47.5
+
+
+def render_frame(world_pts, world_cols, cam_pos):
+    """Splat world points into an RGBD image from a camera at cam_pos
+    (axis-aligned, looking +z)."""
+    p = world_pts - cam_pos
+    z = p[:, 2]
+    front = z > 0.2
+    u = np.round(F * p[:, 0] / z + PP).astype(int)
+    v = np.round(F * p[:, 1] / z + PP).astype(int)
+    ok = front & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+    depth = np.zeros((H, W), np.float32)
+    color = np.zeros((H, W, 3), np.float32)
+    order = np.argsort(-z)  # far first; near overwrites (painter's algo)
+    for i in np.nonzero(ok)[0][np.argsort(-z[ok])]:
+        depth[v[i], u[i]] = z[i]
+        color[v[i], u[i]] = world_cols[i]
+    rgbd = np.concatenate([color * 255.0, depth[..., None]], axis=-1)
+    return rgbd
+
+
+def make_world(rng, n=25000):
+    """Textured wavy backdrop plus side structure."""
+    xy = rng.uniform(-1.6, 1.6, (n, 2))
+    z = 2.0 + 0.25 * np.sin(3.0 * xy[:, 0]) * np.cos(2.0 * xy[:, 1])
+    pts = np.concatenate([xy, z[:, None]], axis=1).astype(np.float32)
+    cols = np.stack(
+        [
+            0.5 + 0.5 * np.sin(5.0 * pts[:, 0]),
+            0.5 + 0.5 * np.cos(4.0 * pts[:, 1]),
+            0.5 + 0.5 * np.sin(3.0 * pts[:, 2] * pts[:, 0]),
+        ],
+        axis=1,
+    ).clip(0.05, 1.0).astype(np.float32)
+    return pts, cols
+
+
+def make_clip(rng, t=4, cam_step=(0.04, 0.0, 0.0), obj_step=(0.03, 0.0, 0.0)):
+    world_pts, world_cols = make_world(rng)
+    obj_center0 = np.array([0.0, 0.0, 1.2], np.float32)
+    obj_local = rng.uniform(-0.08, 0.08, (24, 3)).astype(np.float32)
+
+    obj_cols = np.tile(np.array([[0.9, 0.2, 0.1]], np.float32), (len(obj_local), 1))
+
+    frames, masks, tracks = [], [], []
+    for ti in range(t):
+        cam = np.array(cam_step, np.float32) * ti
+        # object (world) position this frame
+        obj_c = obj_center0 + np.array(obj_step, np.float32) * ti
+        # render backdrop + the object itself (the tracker samples depth at
+        # track pixels, which must land on the object — 7_get:221-224)
+        scene_pts = np.concatenate([world_pts, obj_local + obj_c])
+        scene_cols = np.concatenate([world_cols, obj_cols])
+        rgbd = render_frame(scene_pts, scene_cols, cam)
+        obj_pts_cam = obj_local + obj_c - cam
+        u = F * obj_pts_cam[:, 0] / obj_pts_cam[:, 2] + PP
+        v = F * obj_pts_cam[:, 1] / obj_pts_cam[:, 2] + PP
+        tracks.append(np.stack([u, v, obj_pts_cam[:, 2]], axis=1))
+        # bbox mask over the object region (registration uses background)
+        m = np.zeros((H, W), bool)
+        u0, u1 = int(u.min()) - 2, int(u.max()) + 3
+        v0, v1 = int(v.min()) - 2, int(v.max()) + 3
+        m[max(v0, 0):v1, max(u0, 0):u1] = True
+        frames.append(rgbd)
+        masks.append(m)
+    return (
+        np.stack(frames),
+        np.stack(masks),
+        np.stack(tracks).astype(np.float32),
+    )
+
+
+def small_cfg():
+    return DataConfig(
+        pcm=PCMConfig(voxel_size=0.1, ransac_max_iters=512, icp_max_iters=20)
+    )
+
+
+def run(rng, cam_step, obj_step, t=4):
+    frames, masks, tracks = make_clip(rng, t, cam_step, obj_step)
+    res = extract_trajectory(
+        jnp.asarray(frames), jnp.asarray(masks), jnp.asarray(tracks),
+        jnp.asarray(t), F, PP, cfg=small_cfg(),
+        max_keypoints=1024, num_hypotheses=512, key=jax.random.PRNGKey(0),
+    )
+    return res, frames, tracks
+
+
+def test_static_camera_moving_object(rng):
+    res, frames, tracks = run(rng, cam_step=(0, 0, 0), obj_step=(0.03, 0, 0))
+    assert bool(res.ok)
+    traj = np.asarray(res.traj_quat)
+    # static camera: positions should advance ~0.03/frame in x
+    dx = np.diff(traj[:, 0])
+    np.testing.assert_allclose(dx, 0.03, atol=0.012)
+    np.testing.assert_allclose(np.diff(traj[:, 1]), 0.0, atol=0.012)
+    # rotations ~ identity (translating object)
+    assert np.abs(traj[:, 3:6]).max() < 0.1
+    assert np.abs(traj[:, 6] - 1.0).max() < 0.02 or np.abs(traj[:, 6] + 1.0).max() < 0.02
+
+
+def test_moving_camera_static_object(rng):
+    """Ego-motion cancellation: a static object under camera translation
+    must come out (near) stationary in the frame-0 coordinates."""
+    res, frames, tracks = run(rng, cam_step=(0.04, 0, 0), obj_step=(0, 0, 0))
+    assert bool(res.ok)
+    traj = np.asarray(res.traj_quat)
+    drift = np.linalg.norm(traj[1:, :3] - traj[0, :3], axis=1)
+    assert drift.max() < 0.03, drift
+
+
+def test_moving_camera_moving_object(rng):
+    res, frames, tracks = run(rng, cam_step=(0.03, 0, 0), obj_step=(0.0, 0.025, 0))
+    assert bool(res.ok)
+    traj = np.asarray(res.traj_quat)
+    dy = np.diff(traj[:, 1])
+    np.testing.assert_allclose(dy, 0.025, atol=0.015)
+    # x should stay ~constant (camera motion cancelled)
+    assert np.abs(np.diff(traj[:, 0])).max() < 0.015
+
+
+def test_validate_tracks_rejects_out_of_frame():
+    t, q = 5, 10
+    tracks = np.full((t, q, 3), 50.0, np.float32)
+    tracks[2, :, 0] = 500.0  # whole frame out of range
+    valid_q, ok = validate_tracks(jnp.asarray(tracks), W, H, jnp.asarray(t))
+    assert not bool(ok)
+    tracks[2, :, 0] = 50.0
+    valid_q, ok = validate_tracks(jnp.asarray(tracks), W, H, jnp.asarray(t))
+    assert bool(ok)
+    assert np.asarray(valid_q).all()
