@@ -1,0 +1,213 @@
+"""Torch -> JAX checkpoint conversion for the reference model families.
+
+The north-star requires loading reference checkpoints at fp32 tolerance
+(BASELINE.md): PointLLM_7B_v1.2 (HF LLaMA + PointBERT + projector,
+pointllm.py:26-353), standalone PointBERT checkpoints
+(point_encoder.py:144-167 `module.point_encoder.` remap), and the
+trajectory fine-tune checkpoints saved by train.py:287-308.
+
+Torch tensors arrive as a flat state_dict (name -> numpy array); no
+torch import is required here (callers may use `load_torch_file`).
+
+Name mapping (torch -> flax path):
+  model.embed_tokens.weight                -> embed_tokens/embedding
+  model.layers.{i}.self_attn.{q,k,v,o}_proj.weight
+        -> model/layers_{i}/self_attn/{q,k,v,o}_proj/kernel  (transposed)
+  model.layers.{i}.mlp.{gate,up,down}_proj.weight -> ... (transposed)
+  model.layers.{i}.input_layernorm.weight  -> .../input_layernorm/weight
+  model.norm.weight                        -> model/norm/weight
+  lm_head.weight                           -> lm_head/kernel (transposed)
+  model.point_proj.{2k}.{weight,bias}      -> point_proj/proj_{2k}/...
+  model.point_backbone.*                   -> point_backbone/* (see below)
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional
+
+import numpy as np
+
+from flax import traverse_util
+
+from egoscaler_tpu.configs import PointLLMConfig
+
+
+def load_torch_file(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint into numpy without keeping torch tensors."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]  # train.py:289 layout
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]        # PointBERT layout
+    return {k: v.float().numpy() for k, v in obj.items()
+            if hasattr(v, "numpy")}
+
+
+def _linear(sd, name, out, path):
+    out[f"params/{path}/kernel"] = sd[f"{name}.weight"].T
+    if f"{name}.bias" in sd:
+        out[f"params/{path}/bias"] = sd[f"{name}.bias"]
+
+
+def _layernorm(sd, name, out, path):
+    out[f"params/{path}/scale"] = sd[f"{name}.weight"]
+    out[f"params/{path}/bias"] = sd[f"{name}.bias"]
+
+
+def _batchnorm(sd, name, out, path):
+    out[f"params/{path}/scale"] = sd[f"{name}.weight"]
+    out[f"params/{path}/bias"] = sd[f"{name}.bias"]
+    out[f"batch_stats/{path}/mean"] = sd[f"{name}.running_mean"]
+    out[f"batch_stats/{path}/var"] = sd[f"{name}.running_var"]
+
+
+def _conv1d_as_dense(sd, name, out, path):
+    """torch Conv1d(k=1) weight (out, in, 1) -> Dense kernel (in, out)."""
+    w = sd[f"{name}.weight"]
+    out[f"params/{path}/kernel"] = w[..., 0].T
+    if f"{name}.bias" in sd:
+        out[f"params/{path}/bias"] = sd[f"{name}.bias"]
+
+
+def convert_pointbert(
+    sd: Dict[str, np.ndarray],
+    prefix: str = "",
+    out_prefix: str = "point_backbone",
+    depth: int = 12,
+) -> Dict[str, np.ndarray]:
+    """PointTransformer weights (point_encoder.py:101-143 module tree)."""
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+    o = out_prefix
+    out[f"params/{o}/cls_token"] = sd[f"{p}cls_token"]
+    out[f"params/{o}/cls_pos"] = sd[f"{p}cls_pos"]
+    _linear(sd, f"{p}reduce_dim", out, f"{o}/reduce_dim")
+    _linear(sd, f"{p}pos_embed.0", out, f"{o}/pos_embed_0")
+    _linear(sd, f"{p}pos_embed.2", out, f"{o}/pos_embed_2")
+    _conv1d_as_dense(sd, f"{p}encoder.first_conv.0", out, f"{o}/encoder/first_conv_0")
+    _batchnorm(sd, f"{p}encoder.first_conv.1", out, f"{o}/encoder/first_conv_1")
+    _conv1d_as_dense(sd, f"{p}encoder.first_conv.3", out, f"{o}/encoder/first_conv_3")
+    _conv1d_as_dense(sd, f"{p}encoder.second_conv.0", out, f"{o}/encoder/second_conv_0")
+    _batchnorm(sd, f"{p}encoder.second_conv.1", out, f"{o}/encoder/second_conv_1")
+    _conv1d_as_dense(sd, f"{p}encoder.second_conv.3", out, f"{o}/encoder/second_conv_3")
+    for i in range(depth):
+        b = f"{p}blocks.blocks.{i}"
+        t = f"{o}/blocks_{i}"
+        _layernorm(sd, f"{b}.norm1", out, f"{t}/norm1")
+        _layernorm(sd, f"{b}.norm2", out, f"{t}/norm2")
+        _linear(sd, f"{b}.attn.qkv", out, f"{t}/attn_qkv")
+        _linear(sd, f"{b}.attn.proj", out, f"{t}/attn_proj")
+        _linear(sd, f"{b}.mlp.fc1", out, f"{t}/mlp_fc1")
+        _linear(sd, f"{b}.mlp.fc2", out, f"{t}/mlp_fc2")
+    _layernorm(sd, f"{p}norm", out, f"{o}/norm")
+    return out
+
+
+def convert_pointbert_standalone(sd: Dict[str, np.ndarray], depth: int = 12):
+    """`module.point_encoder.` remap (point_encoder.py:144-151)."""
+    stripped = {
+        k.replace("module.point_encoder.", ""): v
+        for k, v in sd.items()
+        if k.startswith("module.point_encoder.")
+    }
+    return convert_pointbert(stripped, depth=depth)
+
+
+def convert_pointllm(
+    sd: Dict[str, np.ndarray],
+    cfg: PointLLMConfig,
+    extend_vocab: bool = True,
+    seed: int = 0,
+) -> dict:
+    """Full PointLLM state_dict -> flax variables for TrajPointLLM.
+
+    With `extend_vocab`, embed_tokens/lm_head rows for the trajectory
+    tokens are appended: new input embeddings are drawn N(0, 0.02) and
+    new output rows zero-init (builder.py:44 `mean_resizing=False`
+    resizes without averaging — random init per HF).
+    """
+    out: Dict[str, np.ndarray] = {}
+    n_layers = cfg.llama.num_hidden_layers
+
+    emb = sd["model.embed_tokens.weight"]
+    head = sd["lm_head.weight"].T  # (hidden, vocab)
+    if extend_vocab:
+        extra = cfg.extended_vocab_size - emb.shape[0]
+        if extra > 0:
+            rng = np.random.default_rng(seed)
+            emb = np.concatenate(
+                [emb, rng.normal(0, 0.02, (extra, emb.shape[1])).astype(emb.dtype)]
+            )
+            head = np.concatenate(
+                [head, np.zeros((head.shape[0], extra), head.dtype)], axis=1
+            )
+    out["params/embed_tokens/embedding"] = emb
+    out["params/lm_head/kernel"] = head
+
+    for i in range(n_layers):
+        src = f"model.layers.{i}"
+        dst = f"model/layers_{i}"
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            _linear(sd, f"{src}.self_attn.{proj}", out, f"{dst}/self_attn/{proj}")
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            _linear(sd, f"{src}.mlp.{proj}", out, f"{dst}/mlp/{proj}")
+        out[f"params/{dst}/input_layernorm/weight"] = sd[
+            f"{src}.input_layernorm.weight"
+        ]
+        out[f"params/{dst}/post_attention_layernorm/weight"] = sd[
+            f"{src}.post_attention_layernorm.weight"
+        ]
+    out["params/model/norm/weight"] = sd["model.norm.weight"]
+
+    # projector (pointllm.py:63-82: point_proj is nn.Sequential 0,2,4)
+    for k in sd:
+        m = re.match(r"model\.point_proj\.(\d+)\.weight", k)
+        if m:
+            idx = int(m.group(1))
+            _linear(sd, f"model.point_proj.{idx}", out, f"point_proj/proj_{idx}")
+
+    if any(k.startswith("model.point_backbone.") for k in sd):
+        pb = convert_pointbert(
+            sd, prefix="model.point_backbone.",
+            depth=cfg.point_bert.depth,
+        )
+        out.update(pb)
+
+    nested = traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in out.items()}
+    )
+    return nested
+
+
+def export_pointllm(variables: dict) -> Dict[str, np.ndarray]:
+    """Inverse conversion: flax variables -> torch-layout state_dict
+    (for writing checkpoints the reference harness can load)."""
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(path, name):
+        sd[f"{name}.weight"] = np.asarray(flat[f"params/{path}/kernel"]).T
+        if f"params/{path}/bias" in flat:
+            sd[f"{name}.bias"] = np.asarray(flat[f"params/{path}/bias"])
+
+    for k, v in flat.items():
+        v = np.asarray(v)
+        if k == "params/embed_tokens/embedding":
+            sd["model.embed_tokens.weight"] = v
+        elif k == "params/lm_head/kernel":
+            sd["lm_head.weight"] = v.T
+        elif k == "params/model/norm/weight":
+            sd["model.norm.weight"] = v
+        elif m := re.match(r"params/model/layers_(\d+)/(.*)/kernel", k):
+            i, rest = m.group(1), m.group(2).replace("/", ".")
+            sd[f"model.layers.{i}.{rest}.weight"] = v.T
+        elif m := re.match(r"params/model/layers_(\d+)/(.*)/weight", k):
+            i, rest = m.group(1), m.group(2).replace("/", ".")
+            sd[f"model.layers.{i}.{rest}.weight"] = v
+        elif m := re.match(r"params/point_proj/proj_(\d+)/kernel", k):
+            sd[f"model.point_proj.{m.group(1)}.weight"] = v.T
+        elif m := re.match(r"params/point_proj/proj_(\d+)/bias", k):
+            sd[f"model.point_proj.{m.group(1)}.bias"] = v
+    return sd

@@ -1,0 +1,115 @@
+"""Full training loop: the `train.py main()` equivalent.
+
+Epoch loop with per-epoch validation (generation + ADE/FDE/GD),
+latest/best checkpointing, resume, metric logging — the reference
+harness (models/pointllm/train.py:39-310) on the TPU-native stack.
+Multi-chip: pass a mesh and the step runs pjit-sharded (data/model axes);
+single-chip it's a plain jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egoscaler_tpu.configs import PointLLMConfig, TrainConfig
+from egoscaler_tpu.models.pointllm import TrajPointLLM
+from egoscaler_tpu.training.checkpoint import CheckpointManager
+from egoscaler_tpu.training.dataset import BatchLayout, TrajectoryDataset
+from egoscaler_tpu.training.evaluate import evaluate
+from egoscaler_tpu.training.logging_utils import RunLogger
+from egoscaler_tpu.training.trainer import (
+    create_train_state,
+    make_train_step,
+)
+
+
+def train(
+    cfg: PointLLMConfig,
+    tcfg: TrainConfig,
+    train_ds: TrajectoryDataset,
+    val_ds: Optional[TrajectoryDataset],
+    run_dir: str = "runs/default",
+    resume: bool = False,
+    eval_batches: Optional[int] = None,
+    log_every: int = 10,
+) -> dict:
+    model = TrajPointLLM(cfg, remat=True)
+    lay = BatchLayout(cfg)
+    steps_per_epoch = max(len(train_ds) // tcfg.batch_size, 1)
+    total_steps = steps_per_epoch * tcfg.epochs
+
+    logger = RunLogger(
+        run_dir,
+        name=f"pointllm-{'do_norm' if tcfg.do_norm else 'no_norm'}"
+             f"-{'do_standard' if tcfg.do_standard else 'no_standard'}",
+        config={**dataclasses.asdict(tcfg)},
+    )
+    ckpt = CheckpointManager(f"{run_dir}/{tcfg.checkpoint_dir}",
+                            keep=tcfg.keep_checkpoints)
+
+    sample = next(train_ds.batches(tcfg.batch_size, shuffle=False))
+    sample = {k: jnp.asarray(v) for k, v in sample.items()
+              if k in ("input_ids", "attention_mask", "point_clouds")}
+    state, tx = create_train_state(
+        model, tcfg, jax.random.PRNGKey(tcfg.seed), sample, total_steps
+    )
+    start_epoch = 0
+    if resume:
+        restored, step = ckpt.restore_latest(state)
+        if restored is not None:
+            state = restored
+            start_epoch = step // steps_per_epoch
+            print(f"resumed from step {step} (epoch {start_epoch})")
+
+    step_fn = make_train_step(
+        model, tx, lay.prompt_len, tcfg.grad_accum_steps
+    )
+
+    history = {"train_loss": [], "ade": [], "fde": [], "gd": []}
+    for epoch in range(start_epoch, tcfg.epochs):
+        t0 = time.time()
+        losses = []
+        for i, raw in enumerate(
+            train_ds.batches(tcfg.batch_size, shuffle=True)
+        ):
+            batch = {k: jnp.asarray(v) for k, v in raw.items()
+                     if k in ("input_ids", "attention_mask", "point_clouds")}
+            state, metrics = step_fn(state, batch)
+            losses.append(metrics["loss"])
+            if i % log_every == 0:
+                logger.log(
+                    {"epoch": epoch, "loss": float(metrics["loss"])},
+                    step=int(state.step),
+                )
+        train_loss = float(jnp.mean(jnp.stack(losses)))
+        history["train_loss"].append(train_loss)
+
+        summary = {}
+        if val_ds is not None:
+            summary = evaluate(
+                model, state.full_params(), val_ds,
+                batch_size=tcfg.batch_size,
+                key=jax.random.PRNGKey(epoch),
+                max_batches=eval_batches,
+            )
+            for k in ("ade", "fde", "gd"):
+                if k in summary:
+                    history[k].append(summary[k])
+        logger.log(
+            {"epoch": epoch, "train_loss": train_loss, **summary,
+             "epoch_time_s": time.time() - t0},
+            step=int(state.step),
+        )
+
+        ckpt.save_latest(int(state.step), state)
+        if "ade" in summary and np.isfinite(summary["ade"]):
+            if ckpt.save_best(int(state.step), state, summary["ade"]):
+                print(f"new best ADE {summary['ade']:.4f}")
+    ckpt.wait()
+    logger.finish()
+    return {"state": state, "history": history, "model": model}
