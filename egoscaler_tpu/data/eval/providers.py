@@ -1,0 +1,223 @@
+"""HOT3D evaluation-data providers (CSV-backed, numpy).
+
+Rebuild of the vendored Meta hot3d loader family
+(egoscaler/data/eval/data_loaders/: ObjectPose3dProvider,
+HeadsetPose3dProvider, ObjectLibrary, Hot3dDataPathProvider) and the
+facade (egoscaler/data/eval/dataset_api.py:54-240) — without torch.
+Only the CSV/JSON-backed providers are reimplemented; VRS image streams
+ride the optional projectaria adapter like the training side.
+
+CSV schemas (hot3d toolkit):
+  dynamic_objects.csv: object_uid, timestamp[ns], t_wo_{x,y,z}[m],
+                       q_wo_{w,x,y,z}
+  headset_trajectory.csv: same fields for the device pose (t_ws / q_ws).
+Poses are SE(3) world<-object; quaternions stored (w, x, y, z).
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from egoscaler_tpu.geometry.rotations import matrix_from_quat
+
+
+@dataclasses.dataclass
+class Pose3d:
+    """SE(3) world-from-object."""
+
+    rotation: np.ndarray      # (3, 3)
+    translation: np.ndarray   # (3,)
+
+    @staticmethod
+    def from_quat_wxyz(qw, qx, qy, qz, t) -> "Pose3d":
+        quat_xyzw = np.array([qx, qy, qz, qw], np.float64)
+        rot = np.asarray(matrix_from_quat(quat_xyzw.astype(np.float32)))
+        return Pose3d(rot, np.asarray(t, np.float64))
+
+    def matrix(self) -> np.ndarray:
+        m = np.eye(4)
+        m[:3, :3] = self.rotation
+        m[:3, 3] = self.translation
+        return m
+
+    def inverse(self) -> "Pose3d":
+        rt = self.rotation.T
+        return Pose3d(rt, -rt @ self.translation)
+
+    def __matmul__(self, other: "Pose3d") -> "Pose3d":
+        return Pose3d(
+            self.rotation @ other.rotation,
+            self.rotation @ other.translation + self.translation,
+        )
+
+    def apply(self, pts: np.ndarray) -> np.ndarray:
+        return pts @ self.rotation.T + self.translation
+
+
+def _read_pose_csv(path: str, prefix: str) -> Dict[int, Dict[str, Pose3d]]:
+    out: Dict[int, Dict[str, Pose3d]] = {}
+    with open(path) as f:
+        reader = csv.reader(f)
+        header = next(reader)
+        ix = {name: i for i, name in enumerate(header)}
+        for row in reader:
+            ts = int(row[ix["timestamp[ns]"]])
+            uid = str(row[ix["object_uid"]]) if "object_uid" in ix else "device"
+            pose = Pose3d.from_quat_wxyz(
+                float(row[ix[f"q_{prefix}_w"]]),
+                float(row[ix[f"q_{prefix}_x"]]),
+                float(row[ix[f"q_{prefix}_y"]]),
+                float(row[ix[f"q_{prefix}_z"]]),
+                [
+                    float(row[ix[f"t_{prefix}_x[m]"]]),
+                    float(row[ix[f"t_{prefix}_y[m]"]]),
+                    float(row[ix[f"t_{prefix}_z[m]"]]),
+                ],
+            )
+            out.setdefault(ts, {})[uid] = pose
+    return out
+
+
+class ObjectPose3dProvider:
+    """Dynamic object GT poses (ObjectPose3dProvider.py:61-176)."""
+
+    def __init__(self, csv_path: str):
+        self._poses = _read_pose_csv(csv_path, "wo")
+        self.timestamps = np.array(sorted(self._poses), np.int64)
+        uids = set()
+        for c in self._poses.values():
+            uids.update(c)
+        self.object_uids = sorted(uids)
+
+    def get_pose_at_timestamp(
+        self,
+        timestamp_ns: int,
+        acceptable_time_delta_ns: Optional[int] = None,
+    ) -> Optional[Tuple[Dict[str, Pose3d], int]]:
+        """Closest-timestamp collection + time delta (CLOSEST query)."""
+        if len(self.timestamps) == 0:
+            return None
+        i = int(np.argmin(np.abs(self.timestamps - timestamp_ns)))
+        ts = int(self.timestamps[i])
+        dt = ts - timestamp_ns
+        if (
+            acceptable_time_delta_ns is not None
+            and abs(dt) > acceptable_time_delta_ns
+        ):
+            return None
+        return self._poses[ts], dt
+
+    def trajectory(self, uid: str) -> Tuple[np.ndarray, np.ndarray]:
+        """(timestamps, positions (T, 3)) for one object."""
+        ts, pos = [], []
+        for t in self.timestamps:
+            c = self._poses[int(t)]
+            if uid in c:
+                ts.append(t)
+                pos.append(c[uid].translation)
+        return np.asarray(ts), np.stack(pos) if pos else np.zeros((0, 3))
+
+
+class HeadsetPose3dProvider:
+    """Device GT poses (HeadsetPose3dProvider.py:46)."""
+
+    def __init__(self, csv_path: str):
+        self._poses = _read_pose_csv(csv_path, "ws")
+        self.timestamps = np.array(sorted(self._poses), np.int64)
+
+    def get_pose_at_timestamp(
+        self, timestamp_ns: int,
+        acceptable_time_delta_ns: Optional[int] = None,
+    ) -> Optional[Tuple[Pose3d, int]]:
+        if len(self.timestamps) == 0:
+            return None
+        i = int(np.argmin(np.abs(self.timestamps - timestamp_ns)))
+        ts = int(self.timestamps[i])
+        dt = ts - timestamp_ns
+        if (
+            acceptable_time_delta_ns is not None
+            and abs(dt) > acceptable_time_delta_ns
+        ):
+            return None
+        return next(iter(self._poses[ts].values())), dt
+
+
+@dataclasses.dataclass
+class ObjectLibrary:
+    """CAD object metadata (loader_object_library.py:22): uid -> name and
+    axis-aligned bounding box of the mesh."""
+
+    root: str
+    uid_to_name: Dict[str, str]
+    uid_to_bbox: Dict[str, np.ndarray]  # (2, 3) min/max
+
+    @staticmethod
+    def load(root: str) -> "ObjectLibrary":
+        inst = os.path.join(root, "instance.json")
+        uid_to_name, uid_to_bbox = {}, {}
+        if os.path.exists(inst):
+            with open(inst) as f:
+                meta = json.load(f)
+            for uid, info in meta.items():
+                uid_to_name[uid] = info.get("instance_name", uid)
+                if "bbox_min" in info and "bbox_max" in info:
+                    uid_to_bbox[uid] = np.asarray(
+                        [info["bbox_min"], info["bbox_max"]], np.float64
+                    )
+        return ObjectLibrary(root, uid_to_name, uid_to_bbox)
+
+
+@dataclasses.dataclass
+class Hot3dDataPathProvider:
+    """Per-sequence file layout (PathProvider.py:80)."""
+
+    sequence_folder: str
+
+    @property
+    def dynamic_objects_file(self) -> str:
+        return os.path.join(self.sequence_folder, "dynamic_objects.csv")
+
+    @property
+    def headset_trajectory_file(self) -> str:
+        for name in ("headset_trajectory.csv", "aria_trajectory.csv"):
+            p = os.path.join(self.sequence_folder, name)
+            if os.path.exists(p):
+                return p
+        return os.path.join(self.sequence_folder, "headset_trajectory.csv")
+
+    @property
+    def vrs_file(self) -> str:
+        return os.path.join(self.sequence_folder, "recording.vrs")
+
+    @property
+    def metadata_file(self) -> str:
+        return os.path.join(self.sequence_folder, "metadata.json")
+
+
+class Hot3dDataProvider:
+    """Facade bundling per-sequence providers (dataset_api.py:54-240)."""
+
+    def __init__(self, sequence_folder: str,
+                 object_library: Optional[ObjectLibrary] = None):
+        self.paths = Hot3dDataPathProvider(sequence_folder)
+        self.object_library = object_library
+        self.object_pose_data_provider = ObjectPose3dProvider(
+            self.paths.dynamic_objects_file
+        )
+        self.device_pose_data_provider = (
+            HeadsetPose3dProvider(self.paths.headset_trajectory_file)
+            if os.path.exists(self.paths.headset_trajectory_file)
+            else None
+        )
+        self.metadata = {}
+        if os.path.exists(self.paths.metadata_file):
+            with open(self.paths.metadata_file) as f:
+                self.metadata = json.load(f)
+
+    def get_device_type(self) -> str:
+        return self.metadata.get("headset", "Aria")

@@ -181,6 +181,77 @@ def convert_pointllm(
     return nested
 
 
+def _conv2d(sd, name, out, path, flip: bool = False):
+    """torch Conv2d weight (out, in, kh, kw) -> flax kernel (kh, kw, in, out)."""
+    w = sd[f"{name}.weight"].transpose(2, 3, 1, 0)
+    if flip:
+        w = w[::-1, ::-1]
+    out[f"params/{path}/kernel"] = w
+    if f"{name}.bias" in sd:
+        out[f"params/{path}/bias"] = sd[f"{name}.bias"]
+
+
+def _convT2d(sd, name, out, path):
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax
+    ConvTranspose kernel (kh, kw, in, out), spatially flipped (torch's
+    transposed conv scatters the unflipped kernel; lax.conv_transpose
+    correlates)."""
+    w = sd[f"{name}.weight"].transpose(2, 3, 0, 1)
+    out[f"params/{path}/kernel"] = w[::-1, ::-1]
+    if f"{name}.bias" in sd:
+        out[f"params/{path}/bias"] = sd[f"{name}.bias"]
+
+
+def convert_depth_anything(sd: Dict[str, np.ndarray], depth: int = 24) -> dict:
+    """Depth-Anything-V2 torch checkpoint -> flax variables.
+
+    Name map for dinov2.py / dpt.py module trees (see
+    models/depth_anything.py docstring).
+    """
+    out: Dict[str, np.ndarray] = {}
+    p = "pretrained"
+    out[f"params/{p}/cls_token"] = sd["pretrained.cls_token"]
+    out[f"params/{p}/pos_embed"] = sd["pretrained.pos_embed"]
+    w = sd["pretrained.patch_embed.proj.weight"].transpose(2, 3, 1, 0)
+    out[f"params/{p}/patch_embed/kernel"] = w
+    out[f"params/{p}/patch_embed/bias"] = sd["pretrained.patch_embed.proj.bias"]
+    for i in range(depth):
+        b = f"pretrained.blocks.{i}"
+        t = f"{p}/blocks_{i}"
+        _layernorm(sd, f"{b}.norm1", out, f"{t}/norm1")
+        _layernorm(sd, f"{b}.norm2", out, f"{t}/norm2")
+        _linear(sd, f"{b}.attn.qkv", out, f"{t}/attn_qkv")
+        _linear(sd, f"{b}.attn.proj", out, f"{t}/attn_proj")
+        _linear(sd, f"{b}.mlp.fc1", out, f"{t}/mlp_fc1")
+        _linear(sd, f"{b}.mlp.fc2", out, f"{t}/mlp_fc2")
+        out[f"params/{t}/ls1_gamma"] = sd[f"{b}.ls1.gamma"]
+        out[f"params/{t}/ls2_gamma"] = sd[f"{b}.ls2.gamma"]
+    _layernorm(sd, "pretrained.norm", out, f"{p}/norm")
+
+    h = "depth_head"
+    for i in range(4):
+        _conv2d(sd, f"depth_head.projects.{i}", out, f"{h}/projects_{i}")
+    _convT2d(sd, "depth_head.resize_layers.0", out, f"{h}/resize_0")
+    _convT2d(sd, "depth_head.resize_layers.1", out, f"{h}/resize_1")
+    _conv2d(sd, "depth_head.resize_layers.3", out, f"{h}/resize_3")
+    for i in range(1, 5):
+        _conv2d(sd, f"depth_head.scratch.layer{i}_rn", out, f"{h}/layer{i}_rn")
+        rf = f"depth_head.scratch.refinenet{i}"
+        t = f"{h}/refinenet{i}"
+        _conv2d(sd, f"{rf}.out_conv", out, f"{t}/out_conv")
+        for j in (1, 2):
+            _conv2d(sd, f"{rf}.resConfUnit{j}.conv1", out, f"{t}/resConfUnit{j}/conv1")
+            _conv2d(sd, f"{rf}.resConfUnit{j}.conv2", out, f"{t}/resConfUnit{j}/conv2")
+    _conv2d(sd, "depth_head.scratch.output_conv1", out, f"{h}/output_conv1")
+    _conv2d(sd, "depth_head.scratch.output_conv2.0", out, f"{h}/output_conv2_0")
+    _conv2d(sd, "depth_head.scratch.output_conv2.2", out, f"{h}/output_conv2_2")
+
+    nested = traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in out.items()}
+    )
+    return nested
+
+
 def export_pointllm(variables: dict) -> Dict[str, np.ndarray]:
     """Inverse conversion: flax variables -> torch-layout state_dict
     (for writing checkpoints the reference harness can load)."""

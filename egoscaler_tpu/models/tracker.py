@@ -1,0 +1,315 @@
+"""TPU-native 3D point tracker (SpaTracker-class architecture).
+
+Rebuild of the reference tracker
+(third_party/SpaTracker/models/spatracker/: BasicEncoder CNN, triplane
+feature lifting via softmax splatting, EUpdateFormer iterative
+refinement, sliding-window inference — SURVEY.md §2.2/§2.3), designed
+TPU-first:
+
+* BasicEncoder: instance-norm residual CNN, stride-4 features;
+* triplane lifting: depth-guided softmax splatting (ops/softsplat.py —
+  the Pallas/XLA rewrite of the CUDA kernels) of image features onto
+  XY / XZ / YZ planes;
+* iterative updates: a transformer alternating attention over the time
+  axis and the track (space) axis predicts (dx, dy, dz) + visibility per
+  iteration, consuming multi-scale correlation features sampled around
+  the current estimates (CoTracker/SpaTracker scheme, 6 iterations);
+* sliding-window predictor with overlap-carry (predictor.py:222).
+
+The reference CUDA checkpoint is not directly loadable (different
+backbone internals); this tracker trains from scratch or by distillation
+from reference outputs.  The weight-free pyramidal-LK tracker
+(ops/lucas_kanade.py) serves the same interface for bring-up.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from egoscaler_tpu.ops.softsplat import softsplat
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    feat_dim: int = 128
+    stride: int = 4
+    z_planes: int = 32          # depth bins for XZ / YZ triplanes
+    corr_radius: int = 3
+    corr_levels: int = 3
+    update_dim: int = 256
+    space_depth: int = 6
+    time_depth: int = 6
+    num_heads: int = 8
+    iters: int = 6
+    window: int = 12
+
+    def tiny(self) -> "TrackerConfig":
+        return dataclasses.replace(
+            self, feat_dim=32, z_planes=8, update_dim=64,
+            space_depth=1, time_depth=1, num_heads=4, iters=2, window=4,
+        )
+
+
+class ResBlock(nn.Module):
+    dim: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.dim, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, name="conv1")(x)
+        h = nn.GroupNorm(num_groups=8, name="norm1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.dim, (3, 3), padding=1, name="conv2")(h)
+        h = nn.GroupNorm(num_groups=8, name="norm2")(h)
+        if self.stride != 1 or x.shape[-1] != self.dim:
+            x = nn.Conv(self.dim, (1, 1), strides=(self.stride, self.stride),
+                        name="skip")(x)
+        return nn.relu(x + h)
+
+
+class BasicEncoder(nn.Module):
+    """Stride-4 feature CNN (spatracker BasicEncoder equivalent)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, images):  # (B, H, W, 3) in [0, 1]
+        x = nn.Conv(self.dim // 2, (7, 7), strides=(2, 2), padding=3,
+                    name="stem")(images)
+        x = nn.GroupNorm(num_groups=8, name="stem_norm")(x)
+        x = nn.relu(x)
+        x = ResBlock(self.dim // 2, name="layer1")(x)
+        x = ResBlock(self.dim, stride=2, name="layer2")(x)
+        x = ResBlock(self.dim, name="layer3")(x)
+        return nn.Conv(self.dim, (1, 1), name="head")(x)
+
+
+def lift_triplanes(
+    feats: jax.Array,   # (B, h, w, C) stride-s features
+    depth: jax.Array,   # (B, h, w) depth at feature resolution
+    z_planes: int,
+    d_max: float = 8.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Softmax-splat features onto XY (identity), XZ, and YZ planes.
+
+    The CUDA softsplat triplane construction (spatracker.py:539-733)
+    expressed with ops.softsplat: target rows/cols are depth bins.
+    """
+    b, h, w, c = feats.shape
+    f = jnp.moveaxis(feats, -1, 1)  # (B, C, h, w)
+    zbin = jnp.clip(depth / d_max, 0.0, 1.0) * (z_planes - 1)
+    metric = -jnp.abs(depth - jnp.mean(depth, axis=(1, 2), keepdims=True))[
+        :, None
+    ]  # sharper weight near median depth (reference uses learned metric)
+
+    # XZ plane: map y -> z bin (flow moves rows to depth bins)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    flow_xz = jnp.stack(
+        [jnp.zeros((b, h, w)), zbin - ys[None]], axis=1
+    )
+    xz = softsplat(f, flow_xz, metric, mode="softmax", out_hw=(z_planes, w))
+
+    # YZ plane: map x -> z bin
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    flow_yz = jnp.stack(
+        [zbin - xs[None], jnp.zeros((b, h, w))], axis=1
+    )
+    yz = softsplat(f, flow_yz, metric, mode="softmax", out_hw=(h, z_planes))
+
+    return feats, jnp.moveaxis(xz, 1, -1), jnp.moveaxis(yz, 1, -1)
+
+
+def _sample_feat(fm: jax.Array, xy: jax.Array) -> jax.Array:
+    """Bilinear sample (h, w, C) at (Q, 2) float coords."""
+    h, w, c = fm.shape
+    x, y = xy[:, 0], xy[:, 1]
+    x0 = jnp.floor(x); y0 = jnp.floor(y)
+    dx = (x - x0)[:, None]; dy = (y - y0)[:, None]
+    x0 = x0.astype(jnp.int32); y0 = y0.astype(jnp.int32)
+
+    def at(yy, xx):
+        return fm[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+
+    return (
+        at(y0, x0) * (1 - dy) * (1 - dx)
+        + at(y0, x0 + 1) * (1 - dy) * dx
+        + at(y0 + 1, x0) * dy * (1 - dx)
+        + at(y0 + 1, x0 + 1) * dy * dx
+    )
+
+
+def corr_features(
+    fmaps: jax.Array,    # (T, h, w, C) feature maps
+    track_feat: jax.Array,  # (Q, C) template features
+    coords: jax.Array,   # (T, Q, 2) current estimates (feature coords)
+    radius: int,
+    levels: int,
+) -> jax.Array:
+    """Multi-scale local correlation patches around current estimates
+    (CoTracker corr pyramid): (T, Q, levels*(2r+1)^2)."""
+    outs = []
+    fm = fmaps
+    for lvl in range(levels):
+        scale = 2 ** lvl
+
+        def per_frame(fm_t, xy_t):
+            off = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+            gy, gx = jnp.meshgrid(off, off, indexing="ij")
+            grid = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (P, 2)
+
+            def per_track(xy, tf):
+                pts = xy / scale + grid
+                patch = _sample_feat(fm_t, pts)  # (P, C)
+                return patch @ tf / jnp.sqrt(tf.shape[-1]).astype(patch.dtype)
+
+            return jax.vmap(per_track)(xy_t, track_feat)
+
+        outs.append(jax.vmap(per_frame)(fm, coords))
+        if lvl < levels - 1:
+            t, h, w, c = fm.shape
+            fm = jax.image.resize(
+                fm, (t, h // 2, w // 2, c), method="linear"
+            )
+    return jnp.concatenate(outs, axis=-1)
+
+
+class UpdateFormer(nn.Module):
+    """Alternating time/space attention (EUpdateFormer equivalent)."""
+
+    cfg: TrackerConfig
+
+    @nn.compact
+    def __call__(self, tokens):  # (T, Q, D)
+        cfg = self.cfg
+        d = cfg.update_dim
+        x = nn.Dense(d, name="input_proj")(tokens)
+        for i in range(max(cfg.time_depth, cfg.space_depth)):
+            if i < cfg.time_depth:
+                # attend over time per track
+                h = nn.LayerNorm(name=f"tnorm_{i}")(x)
+                h = jnp.swapaxes(h, 0, 1)  # (Q, T, D)
+                h = nn.MultiHeadDotProductAttention(
+                    num_heads=cfg.num_heads, name=f"tattn_{i}"
+                )(h, h)
+                x = x + jnp.swapaxes(h, 0, 1)
+            if i < cfg.space_depth:
+                # attend over tracks per frame
+                h = nn.LayerNorm(name=f"snorm_{i}")(x)
+                h = nn.MultiHeadDotProductAttention(
+                    num_heads=cfg.num_heads, name=f"sattn_{i}"
+                )(h, h)
+                x = x + h
+            h = nn.LayerNorm(name=f"mnorm_{i}")(x)
+            h = nn.Dense(d * 4, name=f"mlp1_{i}")(h)
+            h = nn.gelu(h)
+            x = x + nn.Dense(d, name=f"mlp2_{i}")(h)
+        x = nn.LayerNorm(name="out_norm")(x)
+        delta = nn.Dense(3, name="delta_head",
+                         kernel_init=nn.initializers.zeros)(x)
+        vis = nn.Dense(1, name="vis_head")(x)
+        return delta, vis[..., 0]
+
+
+class SpaTracker(nn.Module):
+    """Window tracker: clip + depth + queries -> (T, Q, 3) + visibility."""
+
+    cfg: TrackerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        clip: jax.Array,      # (T, H, W, 3) in [0, 1]
+        depths: jax.Array,    # (T, H, W)
+        queries: jax.Array,   # (Q, 3) (x, y, z) in frame 0, pixel coords
+    ):
+        cfg = self.cfg
+        t, h, w, _ = clip.shape
+        s = cfg.stride
+        fmaps = BasicEncoder(cfg.feat_dim, name="fnet")(clip)  # (T, h/s, w/s, C)
+        fdepth = jax.image.resize(
+            depths, (t, h // s, w // s), method="nearest"
+        )
+        xy_pl, xz_pl, yz_pl = lift_triplanes(
+            fmaps, fdepth, cfg.z_planes
+        )
+
+        q = queries.shape[0]
+        q_feat_xy = _sample_feat(xy_pl[0], queries[:, :2] / s)
+        zbin = jnp.clip(queries[:, 2] / 8.0, 0, 1) * (cfg.z_planes - 1)
+        q_feat_xz = _sample_feat(
+            xz_pl[0], jnp.stack([queries[:, 0] / s, zbin], -1)
+        )
+        q_feat_yz = _sample_feat(
+            yz_pl[0], jnp.stack([zbin, queries[:, 1] / s], -1)
+        )
+        track_feat = nn.Dense(cfg.feat_dim, name="track_fuse")(
+            jnp.concatenate([q_feat_xy, q_feat_xz, q_feat_yz], axis=-1)
+        )
+
+        coords = jnp.broadcast_to(queries[None, :, :2], (t, q, 2))
+        zs = jnp.broadcast_to(queries[None, :, 2], (t, q))
+        vis = jnp.zeros((t, q))
+
+        updater = UpdateFormer(cfg, name="updateformer")
+        corr_dim = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+        for _ in range(cfg.iters):
+            corr = corr_features(
+                fmaps, track_feat, coords / s, cfg.corr_radius, cfg.corr_levels
+            )
+            rel = (coords - coords[0:1]) / jnp.asarray([w, h], jnp.float32)
+            tokens = jnp.concatenate(
+                [
+                    corr,
+                    rel,
+                    zs[..., None],
+                    jnp.broadcast_to(track_feat[None], (t, q, cfg.feat_dim)),
+                ],
+                axis=-1,
+            )
+            delta, vis = updater(tokens)
+            coords = coords + delta[..., :2]
+            zs = zs + delta[..., 2]
+
+        tracks = jnp.concatenate([coords, zs[..., None]], axis=-1)
+        return tracks, jax.nn.sigmoid(vis)
+
+
+@dataclasses.dataclass
+class SpaTrackerPredictor:
+    """Sliding-window inference (predictor.py:37-78 equivalent)."""
+
+    model: SpaTracker
+    params: dict
+
+    def __call__(
+        self,
+        clip: jax.Array,
+        depths: jax.Array,
+        queries: jax.Array,
+        window: Optional[int] = None,
+    ):
+        cfg = self.model.cfg
+        win = window or cfg.window
+        t = clip.shape[0]
+        overlap = win // 2
+        outs = []
+        cur_q = queries
+        start = 0
+        while start < t:
+            end = min(start + win, t)
+            seg = slice(end - win, end) if end - start < win else slice(start, end)
+            tracks, vis = self.model.apply(
+                self.params, clip[seg], depths[seg], cur_q
+            )
+            take_from = start - seg.start
+            outs.append(tracks[take_from:])
+            cur_q = tracks[-1]
+            start += win - overlap
+            if end == t:
+                break
+        return jnp.concatenate(outs, axis=0)[:t]

@@ -1,0 +1,195 @@
+"""Pluggable LLM annotators for the data-construction pipeline.
+
+The reference drives stages 2/3 with LLaMA-3-70B-Instruct over fairscale
+model parallelism (2_filtering_candidate.py:16-61,
+3_get_manipulated_object.py:13-48) and stages 5 / eval-3 with GPT-4o via
+Azure (5_get_timestamp.py:30-90).  TPU-native equivalents:
+
+* `JaxChatModel`: our LlamaModel sharded over the (data, model) mesh —
+  the 70B-class judge runs on ICI tensor parallelism instead of
+  fairscale (SURVEY.md §2.4); takes any converted LLaMA checkpoint.
+* `RuleBasedAnnotator`: deterministic fallback that implements the two
+  judgment tasks (actionability filter, manipulated-object extraction)
+  with lexicons — keeps the pipeline runnable end-to-end with no
+  checkpoint and gives tests a stable oracle.
+* `OpenAIChat`: API adapter for the GPT-4o stages with the reference's
+  token/cost accounting (5_get_timestamp.py:23-28); zero-egress hosts
+  fall back to the motion-based localizer in stage5.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import re
+from typing import List, Optional, Protocol, Sequence, Tuple
+
+
+class ChatModel(Protocol):
+    def completions(self, prompts: Sequence[str]) -> List[str]:
+        ...
+
+
+# ---------------------------------------------------------------------------
+# Rule-based annotator (no-checkpoint fallback + test oracle)
+# ---------------------------------------------------------------------------
+
+# verbs that manipulate rigid objects with a single hand-held motion
+_MANIPULATION_VERBS = {
+    "pick", "pick up", "put", "put down", "place", "move", "lift", "grab",
+    "take", "hold", "open", "close", "turn", "rotate", "push", "pull",
+    "pour", "cut", "slice", "stir", "shake", "press", "insert", "remove",
+    "attach", "detach", "flip", "drop", "set", "raise", "lower", "screw",
+    "unscrew", "tighten", "loosen", "hang", "wipe",
+}
+
+# the reference's stage-2 rule blacklist (2_filtering_candidate.py:66-71)
+_BLACKLIST_VERBS = {"walk", "run", "sit", "watch", "look", "read", "listen", "talk"}
+
+_NON_RIGID = {
+    "cloth", "towel", "rag", "rope", "wire", "cable", "dough", "bag",
+    "paper", "napkin", "sponge", "string", "band", "glove", "apron",
+    "bandage", "gauze", "sheet", "blanket", "sock",
+}
+_NON_OBJECTS = {"hand", "hands", "finger", "arm", "none", "nothing"}
+
+
+@dataclasses.dataclass
+class RuleBasedAnnotator:
+    """Answers the stage-2 / stage-3 judgment prompts deterministically."""
+
+    def filter_actionable(self, descriptions: Sequence[str]) -> List[bool]:
+        """Stage-2 judgment: is this a single-object manipulation action a
+        robot arm could reproduce?"""
+        out = []
+        for d in descriptions:
+            dl = d.lower()
+            if any(v in dl.split() for v in _BLACKLIST_VERBS):
+                out.append(False)
+                continue
+            words = dl.replace(".", "").split()
+            has_verb = any(
+                v in dl for v in _MANIPULATION_VERBS
+            ) or (words and words[0] in _MANIPULATION_VERBS)
+            out.append(bool(has_verb))
+        return out
+
+    def manipulated_object(
+        self, descriptions: Sequence[str]
+    ) -> List[Tuple[Optional[str], bool]]:
+        """Stage-3 judgment: (object name, rigid?) per description."""
+        from egoscaler_tpu.data.tools.nlp_tools import extract_verb_obj
+
+        out = []
+        for d in descriptions:
+            _, obj = extract_verb_obj("i " + d.lower())
+            if obj is None or obj in _NON_OBJECTS:
+                out.append((None, False))
+                continue
+            head = obj.split()[-1]
+            rigid = head not in _NON_RIGID
+            out.append((obj, rigid))
+        return out
+
+    # ChatModel interface: emits reference-parseable strings
+    def completions(self, prompts: Sequence[str]) -> List[str]:
+        outs = []
+        for p in prompts:
+            if "rigid" in p.lower():
+                desc = p.strip().splitlines()[-1]
+                obj, rigid = self.manipulated_object([desc])[0]
+                outs.append(
+                    f"manipulated object: {obj or 'none'}, "
+                    f"rigid: {'true' if rigid else 'false'}"
+                )
+            else:
+                desc = p.strip().splitlines()[-1]
+                outs.append(str(self.filter_actionable([desc])[0]))
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# JAX LLaMA chat model (mesh-sharded judge, replaces fairscale 70B)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class JaxChatModel:
+    """Chat completion over our LlamaModel + a local HF tokenizer.
+
+    `params` should be sharded with parallel.sharding rules over a
+    (data, model) mesh before construction for 70B-class checkpoints.
+    """
+
+    model: object          # TrajPointLLM or bare decoder wrapper
+    params: dict
+    tokenizer: object      # HF tokenizer (local files)
+    max_gen_len: int = 100
+    temperature: float = 0.0
+    system_prompt: str = ""
+
+    def completions(self, prompts: Sequence[str]) -> List[str]:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from egoscaler_tpu.models.pointllm import GenerateConfig, generate
+
+        texts = [
+            (self.system_prompt + "\n" + p) if self.system_prompt else p
+            for p in prompts
+        ]
+        encs = [self.tokenizer(t).input_ids for t in texts]
+        max_len = max(len(e) for e in encs)
+        ids = np.zeros((len(encs), max_len), np.int32)
+        mask = np.zeros((len(encs), max_len), bool)
+        for i, e in enumerate(encs):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = True
+        gen_cfg = GenerateConfig(
+            max_new_tokens=self.max_gen_len,
+            do_sample=self.temperature > 0,
+            temperature=max(self.temperature, 1e-5),
+            eos_token_id=self.tokenizer.eos_token_id,
+        )
+        toks, lengths = generate(
+            self.model, self.params, jnp.asarray(ids), jnp.asarray(mask),
+            None, jax.random.PRNGKey(0), gen_cfg,
+        )
+        outs = []
+        for row, n in zip(np.asarray(toks), np.asarray(lengths)):
+            outs.append(self.tokenizer.decode(row[:n]))
+        return outs
+
+
+# ---------------------------------------------------------------------------
+# OpenAI / Azure adapter with cost accounting (5_get_timestamp.py:23-28)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OpenAIChat:
+    model: str = "gpt-4o"
+    api_key: Optional[str] = None
+    endpoint: Optional[str] = None
+    input_cost_per_1k: float = 0.005
+    output_cost_per_1k: float = 0.015
+    total_cost: float = 0.0
+
+    def completions(self, prompts: Sequence[str]) -> List[str]:
+        try:
+            from openai import OpenAI
+        except ImportError as e:
+            raise RuntimeError(
+                "openai package unavailable; use RuleBasedAnnotator or the "
+                "motion-based localizer"
+            ) from e
+        client = OpenAI(api_key=self.api_key, base_url=self.endpoint)
+        outs = []
+        for p in prompts:
+            r = client.chat.completions.create(
+                model=self.model, messages=[{"role": "user", "content": p}]
+            )
+            self.total_cost += (
+                r.usage.prompt_tokens / 1000 * self.input_cost_per_1k
+                + r.usage.completion_tokens / 1000 * self.output_cost_per_1k
+            )
+            outs.append(r.choices[0].message.content)
+        return outs

@@ -1,0 +1,231 @@
+"""End-to-end data-construction pipeline on a synthetic mini-corpus.
+
+Builds Ego-Exo4D-layout annotations + rendered clip frames on disk, then
+runs stages 1 -> 2 -> 3 -> 5 -> 6 -> 7 (stage 4 frame extraction is
+replaced by writing the rendered frames directly — VRS decode needs
+projectaria) and asserts the trajs/pcrgbs artifacts appear with the
+reference pickle schema.
+"""
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from egoscaler_tpu.configs import CameraConfig, DataConfig, PCMConfig
+from egoscaler_tpu.data.tools import nlp_tools
+from egoscaler_tpu.pipelines.stages import (
+    stage1_candidates,
+    stage2_filter,
+    stage3_object,
+    stage5_timestamps,
+    stage6_boxes,
+    stage7_trajectory,
+)
+
+CAM = CameraConfig()
+
+
+def make_corpus(root, save, rng):
+    """Annotations + takes in egoexo4d layout."""
+    os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+    uid = "take0001"
+    descriptions = {
+        uid: [
+            {
+                "descriptions": [
+                    {
+                        "text": "C picks up the cup with his right hand.",
+                        "timestamp": 10.0,
+                        "subject": "C",
+                        "ego_visible": True,
+                        "unsure": False,
+                    },
+                    {   # transitive but blacklisted verb: survives
+                        # stage 1 (has an object), filtered in stage 2
+                        "text": "C watches the pot.",
+                        "timestamp": 20.0,
+                        "subject": "C",
+                        "ego_visible": True,
+                        "unsure": False,
+                    },
+                ]
+            }
+        ]
+    }
+    takes = [
+        {
+            "take_uid": uid,
+            "parent_task_name": "Cooking",
+            "take_name": "t1",
+            "capture": {"cameras": [{"cam_id": "aria01"}]},
+        }
+    ]
+    with open(os.path.join(root, "annotations", "atomic_descriptions_train.json"), "w") as f:
+        json.dump({"annotations": descriptions}, f)
+    with open(os.path.join(root, "annotations", "atomic_descriptions_val.json"), "w") as f:
+        json.dump({"annotations": {}}, f)
+    with open(os.path.join(root, "takes.json"), "w") as f:
+        json.dump(takes, f)
+    return uid
+
+
+def render_clip_frames(save_dir, data, rng, h=96, w=96):
+    """Write rendered frames for the clip window (stage-4 substitute)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_trajectory_pipeline import make_world, render_frame
+
+    world_pts, world_cols = make_world(rng, n=20000)
+    obj_local = rng.uniform(-0.06, 0.06, (20, 3)).astype(np.float32)
+    obj0 = np.array([0.0, 0.0, 1.2], np.float32)
+    obj_cols = np.tile(np.array([[0.9, 0.2, 0.1]], np.float32), (20, 1))
+
+    from egoscaler_tpu.data.adapters.egoexo4d import clip_duration
+
+    duration = [round(float(t), 3) for t in clip_duration(data["timestamp"])]
+    out_dir = os.path.join(
+        save_dir, "images", data["dataset_name"], data["video_uid"],
+        data["file_name"],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    # object moves only in the middle third of the clip
+    t0 = len(duration) // 3
+    t1 = 2 * len(duration) // 3
+    pos = obj0.copy()
+    for i, t in enumerate(duration):
+        if t0 <= i < t1:
+            pos = pos + np.array([0.02, 0.0, 0.0], np.float32)
+        scene = np.concatenate([world_pts, obj_local + pos])
+        cols = np.concatenate([world_cols, obj_cols])
+        rgbd = render_frame(scene, cols, cam_pos=np.zeros(3, np.float32))
+        Image.fromarray(rgbd[..., :3].astype(np.uint8)).save(
+            os.path.join(out_dir, f"{t}.jpg")
+        )
+
+
+class PatchedCam:
+    """Scale camera helpers to the 96x96 test frames."""
+
+    F = 80.0
+    PP = 47.5
+
+
+def test_full_data_pipeline(tmp_path, rng, monkeypatch):
+    root = str(tmp_path / "corpus")
+    save = str(tmp_path / "out")
+    os.makedirs(save, exist_ok=True)
+    uid = make_corpus(root, save, rng)
+
+    # stage 1
+    cands = stage1_candidates.run("egoexo4d", root, save)
+    assert len(cands) == 2  # 'watches the pot' survives stage 1
+    assert cands[0]["verb"] == "pick up"
+    assert cands[0]["object"] == "cup"
+
+    # stage 2 (rule-based judge)
+    kept = stage2_filter.run(save)
+    assert len(kept) == 1
+    assert "pick" in kept[0]["action_description"]
+
+    # stage 3
+    infos = stage3_object.run(save)
+    assert len(infos) == 1
+    assert infos[0]["manipulated_object"] == "cup"
+    data = infos[0]
+
+    # stage 4 substitute: render frames
+    render_clip_frames(save, data, rng)
+
+    # stage 5: motion localization
+    args5 = argparse.Namespace(data_dir=save, stride=4)
+    updated = stage5_timestamps.run(args5)
+    assert len(updated) == 1
+    data = updated[0]
+    assert data["start_sec"] < data["end_sec"]
+
+    # stage 6: motion-detector boxes
+    args6 = argparse.Namespace(data_dir=save, threshold=0.3)
+    stage6_boxes.run(args6)
+    bbox_file = os.path.join(
+        save, "bboxes", data["dataset_name"], data["video_uid"],
+        data["file_name"] + ".json",
+    )
+    assert os.path.exists(bbox_file)
+
+    # stage 7 with a tiny random-weight depth model and scaled intrinsics
+    from egoscaler_tpu.models.depth_anything import DepthAnythingConfig
+    from egoscaler_tpu.models.depth_wrapper import DepthAnything
+
+    depth_model = DepthAnything(
+        cfg=DepthAnythingConfig.vitl().tiny(), input_size=56
+    )
+    monkeypatch.setattr(
+        stage7_trajectory._CAM.aria.__class__, "focal_len", PatchedCam.F,
+        raising=False,
+    )
+    monkeypatch.setattr(
+        stage7_trajectory._CAM.aria.__class__, "principal_point",
+        PatchedCam.PP, raising=False,
+    )
+    out = stage7_trajectory.process_clip(
+        data, save, depth_model,
+        cfg=DataConfig(pcm=PCMConfig(voxel_size=0.1)),
+        max_tracks=32, max_keypoints=1024, num_hypotheses=512,
+    )
+    # the tiny random depth model gives garbage depth; the pipeline may
+    # reject the clip (ok=False) — what we assert is that the machinery
+    # runs end to end and, if accepted, artifacts exist in schema
+    if out is not None:
+        traj_file = os.path.join(
+            save, "trajs", data["dataset_name"], data["video_uid"],
+            data["file_name"] + ".pkl",
+        )
+        with open(traj_file, "rb") as f:
+            traj = pickle.load(f)
+        assert set(traj) == {"init_bbox", "traj_quat", "traj_rotvec"}
+        assert traj["init_bbox"].shape == (8, 3)
+        assert traj["traj_quat"].shape[1] == 7
+        assert traj["traj_rotvec"].shape[1] == 6
+        assert os.path.exists(
+            os.path.join(save, "pcrgbs", data["dataset_name"],
+                         data["video_uid"], data["file_name"] + ".npy")
+        )
+
+
+def test_nlp_tools_reference_behavior():
+    assert nlp_tools.hand_transfer_flag(
+        "C moves the cup from his right hand to his left hand."
+    )
+    assert not nlp_tools.hand_transfer_flag("C picks up the cup.")
+    assert (
+        nlp_tools.process_hand_mentions("C stirs the pot with his left hand")
+        == "C stirs the pot"
+    )
+    assert (
+        nlp_tools.process_hand_mentions(
+            "C holds with the knife in his right hand"
+        )
+        == "C holds with the knife"
+    )
+    assert nlp_tools.format_description(" C picks  up the cup") == "C picks up the cup."
+    assert nlp_tools.which_hand("with his left hand") == "left"
+    assert nlp_tools.time_str_to_sec("00:01:30.500000") == 90.5
+
+
+def test_lemmatizer_and_svo():
+    lemma = nlp_tools.lemmatize_description("C picks up the cup.")
+    assert "pick up the cup" in lemma
+    verb, obj = nlp_tools.extract_verb_obj("c pick up the cup .")
+    assert verb == "pick up"
+    assert obj == "cup"
+    verb, obj = nlp_tools.extract_verb_obj("c place the knife on the table .")
+    assert verb == "place"
+    assert obj == "knife"
+    verb, obj = nlp_tools.extract_verb_obj("c open the drawer with his hand .")
+    assert verb == "open"
+    assert obj == "drawer"
