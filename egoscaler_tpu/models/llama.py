@@ -86,15 +86,15 @@ class LlamaAttention(nn.Module):
             t = k_full.shape[1]
             q_pos = cache_index + jnp.arange(s)
             causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
+            mask = causal
+            if kv_mask is not None:
+                mask = mask & kv_mask[:, None, None, :t]
+            out = xla_attention(q, k_full, v_full, mask=mask)
         else:
-            k_full, v_full = k, v
-            t = s
-            causal = make_causal_mask(s, s)[None, None]
+            # full-sequence path: Pallas flash attention on TPU
+            from egoscaler_tpu.ops.attention import causal_attention_with_kv_mask
 
-        mask = causal
-        if kv_mask is not None:
-            mask = mask & kv_mask[:, None, None, :t]
-        out = xla_attention(q, k_full, v_full, mask=mask)
+            out = causal_attention_with_kv_mask(q, k, v, kv_mask)
         out = out.reshape(b, s, h * hd)
         out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
         return out, cache_k, cache_v

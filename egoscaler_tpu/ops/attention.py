@@ -87,6 +87,31 @@ def dot_product_attention(
     return xla_attention(q, k, v, mask=mask, scale=scale)
 
 
+def causal_attention_with_kv_mask(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array],
+    use_flash: Optional[bool] = None,
+) -> jax.Array:
+    """Full-sequence causal attention with an arbitrary (B, T) key mask —
+    the LLaMA training/prefill path (mid-prompt pads).  Pallas flash on
+    TPU, XLA elsewhere."""
+    b, s, h, d = q.shape
+    if use_flash is None:
+        use_flash = (
+            jax.default_backend() == "tpu" and d % 128 == 0 and s >= 128
+        )
+    if use_flash:
+        from egoscaler_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=True, kv_mask=kv_mask)
+    mask = make_causal_mask(s, s)[None, None]
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, None, :]
+    return xla_attention(q, k, v, mask=mask)
+
+
 # --------------------------------------------------------------------------
 # Rotary position embeddings (LLaMA convention: rotate_half)
 # --------------------------------------------------------------------------

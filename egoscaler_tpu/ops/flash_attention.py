@@ -3,20 +3,20 @@
 TPU-native replacement for the reference's `flash_attn` CUDA kernels
 (llama_flash_attn_monkey_patch.py:14-107).  Design per the Pallas guide:
 
-* grid (B, H, num_q_blocks); each program streams KV blocks from VMEM
-  while holding a q block and running (max, sum, acc) statistics —
-  classic FlashAttention-2 schedule.
+* grid (B, H, num_q_blocks); each program streams KV blocks while
+  holding a q block and running (max, sum, acc) statistics — the
+  FlashAttention-2 schedule;
 * MXU matmuls via jnp.dot with preferred_element_type=f32; statistics
-  and accumulation in f32; inputs may be bf16.
-* causal masking and right-padded KV lengths folded into the score mask;
-  with `causal`, KV blocks entirely above the diagonal are skipped via
-  @pl.when (no wasted MXU work).
+  and accumulation in f32; inputs may be bf16;
+* causal masking plus an arbitrary (B, T) key-validity mask (the
+  trajectory prompts carry mid-sequence pads in the description slot —
+  dataset.py:150-194 — so suffix-only kv_lengths is not enough);
+* with `causal`, KV blocks entirely above the diagonal are skipped
+  (fori_loop bound), no wasted MXU work.
 
-Backward runs through the same kernel under `jax.custom_vjp`-free
-recomputation: we rely on XLA rematerialization of the forward inside
-`jax.checkpoint` at the call site (the decoder wraps layers in
-jax.checkpoint), so no hand-written bwd kernel is needed for parity;
-a fused bwd kernel is a later optimization.
+Backward relies on XLA rematerialization (layers run under
+jax.checkpoint during training); a fused bwd kernel is a later
+optimization.
 """
 from __future__ import annotations
 
@@ -32,10 +32,10 @@ _NEG_INF = -1e30
 
 
 def _flash_kernel(
-    len_ref,          # (B, 1) int32 in SMEM (valid kv length per batch)
     q_ref,            # (1, 1, bq, d)
     k_ref,            # (1, 1, T, d)
     v_ref,            # (1, 1, T, d)
+    mask_ref,         # (1, 1, T) int32 (1 = valid key)
     o_ref,            # (1, 1, bq, d)
     *,
     block_kv: int,
@@ -50,19 +50,19 @@ def _flash_kernel(
     num_kv_blocks = kv_len_static // block_kv
 
     q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
-    kv_valid = len_ref[pl.program_id(0), 0]
 
     def body(ki, carry):
         m_prev, l_prev, acc = carry
         k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
         v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (bq, bkv)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
 
-        kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
-            jnp.int32, (bq, block_kv), 1
-        )
-        mask = kv_pos < kv_valid
+        kmask = mask_ref[0, 0, pl.ds(ki * block_kv, block_kv)]  # (bkv,)
+        mask = jnp.broadcast_to(kmask[None, :] > 0, (bq, block_kv))
         if causal:
+            kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1
+            )
             q_pos = q_offset + qi * bq + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, block_kv), 0
             )
@@ -84,11 +84,8 @@ def _flash_kernel(
     acc0 = jnp.zeros((bq, d), jnp.float32)
 
     if causal:
-        # skip kv blocks strictly above this q block's last row
         last_q_pos = q_offset + (qi + 1) * bq - 1
-        needed = jnp.minimum(
-            (last_q_pos // block_kv) + 1, num_kv_blocks
-        )
+        needed = jnp.minimum(last_q_pos // block_kv + 1, num_kv_blocks)
     else:
         needed = num_kv_blocks
 
@@ -98,7 +95,8 @@ def _flash_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("causal", "q_offset", "scale", "block_q", "block_kv")
+    jax.jit,
+    static_argnames=("causal", "q_offset", "scale", "block_q", "block_kv"),
 )
 def flash_attention(
     q: jax.Array,
@@ -107,6 +105,7 @@ def flash_attention(
     *,
     causal: bool = False,
     q_offset: int = 0,
+    kv_mask: Optional[jax.Array] = None,
     kv_lengths: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = 256,
@@ -114,8 +113,9 @@ def flash_attention(
 ) -> jax.Array:
     """Flash attention on (B, S, H, D) / (B, T, H, D) inputs.
 
-    S and T are padded to block multiples internally; `kv_lengths` (B,)
-    masks right padding (defaults to T).
+    `kv_mask` (B, T) bool marks valid keys (mid-sequence pads allowed);
+    `kv_lengths` (B,) is the suffix-padding special case.  Sequences are
+    padded to block multiples internally.
     """
     b, s, h, d = q.shape
     t = k.shape[1]
@@ -123,14 +123,19 @@ def flash_attention(
 
     s_pad = -(-s // block_q) * block_q
     t_pad = -(-t // block_kv) * block_kv
-    if kv_lengths is None:
-        kv_lengths = jnp.full((b,), t, jnp.int32)
+    if kv_mask is None:
+        if kv_lengths is None:
+            kv_mask = jnp.ones((b, t), bool)
+        else:
+            kv_mask = jnp.arange(t)[None, :] < kv_lengths[:, None]
+    mask_i32 = jnp.pad(
+        kv_mask.astype(jnp.int32), ((0, 0), (0, t_pad - t))
+    )[:, None, :]  # (B, 1, T): TPU block tiling wants >=2 trailing dims
     qp = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
 
-    # BSHD -> BHSD for blocking
-    qp = jnp.swapaxes(qp, 1, 2)
+    qp = jnp.swapaxes(qp, 1, 2)  # BHSD
     kp = jnp.swapaxes(kp, 1, 2)
     vp = jnp.swapaxes(vp, 1, 2)
 
@@ -145,26 +150,19 @@ def flash_attention(
     )
     out = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, t_pad, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, t_pad, d), lambda bi, hi, qi, lens: (bi, hi, 0, 0)
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi, lens: (bi, hi, qi, 0)
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
             ),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-    )(kv_lengths.reshape(b, 1).astype(jnp.int32), qp, kp, vp)
+    )(qp, kp, vp, mask_i32)
 
-    out = jnp.swapaxes(out, 1, 2)[:, :s]
-    return out
+    return jnp.swapaxes(out, 1, 2)[:, :s]

@@ -103,7 +103,9 @@ class MotionDetector:
                 continue
             diff = np.abs(gray - prev)
             prev = gray
-            t = np.quantile(diff, self.q)
+            # 0.9x keeps pixels sitting exactly at the quantile value
+            # (constant-intensity movers) above the threshold
+            t = np.quantile(diff, self.q) * 0.9
             mask = diff > max(t, 5.0)
             ys, xs = np.nonzero(mask)
             if len(xs) < self.min_size:
