@@ -202,6 +202,49 @@ def _convT2d(sd, name, out, path):
         out[f"params/{path}/bias"] = sd[f"{name}.bias"]
 
 
+META_TO_HF = (
+    # Meta llama3 native naming -> HF naming (for the 70B annotation
+    # judge of stages 2-3; SURVEY.md §2.2 llama3 submodule)
+    (r"^tok_embeddings\.weight$", "model.embed_tokens.weight"),
+    (r"^layers\.(\d+)\.attention\.wq\.weight$",
+     r"model.layers.\1.self_attn.q_proj.weight"),
+    (r"^layers\.(\d+)\.attention\.wk\.weight$",
+     r"model.layers.\1.self_attn.k_proj.weight"),
+    (r"^layers\.(\d+)\.attention\.wv\.weight$",
+     r"model.layers.\1.self_attn.v_proj.weight"),
+    (r"^layers\.(\d+)\.attention\.wo\.weight$",
+     r"model.layers.\1.self_attn.o_proj.weight"),
+    (r"^layers\.(\d+)\.feed_forward\.w1\.weight$",
+     r"model.layers.\1.mlp.gate_proj.weight"),
+    (r"^layers\.(\d+)\.feed_forward\.w2\.weight$",
+     r"model.layers.\1.mlp.down_proj.weight"),
+    (r"^layers\.(\d+)\.feed_forward\.w3\.weight$",
+     r"model.layers.\1.mlp.up_proj.weight"),
+    (r"^layers\.(\d+)\.attention_norm\.weight$",
+     r"model.layers.\1.input_layernorm.weight"),
+    (r"^layers\.(\d+)\.ffn_norm\.weight$",
+     r"model.layers.\1.post_attention_layernorm.weight"),
+    (r"^norm\.weight$", "model.norm.weight"),
+    (r"^output\.weight$", "lm_head.weight"),
+)
+
+
+def meta_to_hf_state_dict(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Meta-native LLaMA checkpoint names -> HF names, feeding
+    convert_pointllm.  (fairscale-sharded checkpoints must be
+    concatenated per tensor by the caller before remapping.)"""
+    out = {}
+    for k, v in sd.items():
+        for pattern, repl in META_TO_HF:
+            new, n = re.subn(pattern, repl, k)
+            if n:
+                out[new] = v
+                break
+        else:
+            out[k] = v
+    return out
+
+
 def convert_depth_anything(sd: Dict[str, np.ndarray], depth: int = 24) -> dict:
     """Depth-Anything-V2 torch checkpoint -> flax variables.
 
