@@ -82,19 +82,35 @@ class LlamaAttention(nn.Module):
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
             )
-            k_full, v_full = cache_k, cache_v
-            t = k_full.shape[1]
-            q_pos = cache_index + jnp.arange(s)
-            causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
-            mask = causal
+            if s > 1:
+                # prefill: causal attention over the prompt itself equals
+                # attention over the cache (future slots are causally
+                # masked) — run the Pallas flash kernel, no S^2 buffer
+                from egoscaler_tpu.ops.attention import (
+                    causal_attention_with_kv_mask,
+                )
+
+                pm = kv_mask[:, :s] if kv_mask is not None else None
+                out = causal_attention_with_kv_mask(q, k, v, pm)
+            else:
+                # single-token decode: gather over the cache
+                k_full, v_full = cache_k, cache_v
+                t = k_full.shape[1]
+                q_pos = cache_index + jnp.arange(s)
+                causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
+                mask = causal
+                if kv_mask is not None:
+                    mask = mask & kv_mask[:, None, None, :t]
+                out = xla_attention(q, k_full, v_full, mask=mask)
+        else:
+            # full-sequence training forward: XLA attention — its fused
+            # fwd+bwd beats flash-fwd + recompute-bwd at these sequence
+            # lengths (~704); the flash kernel serves the prefill path
+            t = s
+            mask = make_causal_mask(s, s)[None, None]
             if kv_mask is not None:
                 mask = mask & kv_mask[:, None, None, :t]
-            out = xla_attention(q, k_full, v_full, mask=mask)
-        else:
-            # full-sequence path: Pallas flash attention on TPU
-            from egoscaler_tpu.ops.attention import causal_attention_with_kv_mask
-
-            out = causal_attention_with_kv_mask(q, k, v, kv_mask)
+            out = xla_attention(q, k, v, mask=mask)
         out = out.reshape(b, s, h * hd)
         out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
         return out, cache_k, cache_v

@@ -14,9 +14,11 @@ TPU-native replacement for the reference's `flash_attn` CUDA kernels
 * with `causal`, KV blocks entirely above the diagonal are skipped
   (fori_loop bound), no wasted MXU work.
 
-Backward relies on XLA rematerialization (layers run under
-jax.checkpoint during training); a fused bwd kernel is a later
-optimization.
+Backward: `jax.custom_vjp` — the forward runs the Pallas kernel, the
+backward differentiates the reference XLA attention (recomputed from the
+saved q/k/v, flash-style "recompute instead of store").  A fused Pallas
+bwd kernel is a later optimization; the S^2 backward intermediate at the
+trajectory sequence length (~704) is small.
 """
 from __future__ import annotations
 
@@ -94,46 +96,17 @@ def _flash_kernel(
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "q_offset", "scale", "block_q", "block_kv"),
-)
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    causal: bool = False,
-    q_offset: int = 0,
-    kv_mask: Optional[jax.Array] = None,
-    kv_lengths: Optional[jax.Array] = None,
-    scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
-) -> jax.Array:
-    """Flash attention on (B, S, H, D) / (B, T, H, D) inputs.
-
-    `kv_mask` (B, T) bool marks valid keys (mid-sequence pads allowed);
-    `kv_lengths` (B,) is the suffix-padding special case.  Sequences are
-    padded to block multiples internally.
-    """
+def _flash_forward(
+    q, k, v, mask_i32, *, causal, q_offset, scale, block_q, block_kv
+):
     b, s, h, d = q.shape
     t = k.shape[1]
-    scale = float(d ** -0.5 if scale is None else scale)
-
     s_pad = -(-s // block_q) * block_q
     t_pad = -(-t // block_kv) * block_kv
-    if kv_mask is None:
-        if kv_lengths is None:
-            kv_mask = jnp.ones((b, t), bool)
-        else:
-            kv_mask = jnp.arange(t)[None, :] < kv_lengths[:, None]
-    mask_i32 = jnp.pad(
-        kv_mask.astype(jnp.int32), ((0, 0), (0, t_pad - t))
-    )[:, None, :]  # (B, 1, T): TPU block tiling wants >=2 trailing dims
     qp = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    mp = jnp.pad(mask_i32, ((0, 0), (0, 0), (0, t_pad - t)))
 
     qp = jnp.swapaxes(qp, 1, 2)  # BHSD
     kp = jnp.swapaxes(kp, 1, 2)
@@ -163,6 +136,88 @@ def flash_attention(
             (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-    )(qp, kp, vp, mask_i32)
+    )(qp, kp, vp, mp)
 
     return jnp.swapaxes(out, 1, 2)[:, :s]
+
+
+def _xla_reference(q, k, v, mask_i32, *, causal, q_offset, scale):
+    """Mathematically identical XLA attention (used for the backward)."""
+    s, t = q.shape[1], k.shape[1]
+    mask = mask_i32[:, :, None, :] > 0  # (B, 1, 1, T)
+    mask = jnp.swapaxes(mask, 1, 2)     # (B, 1, 1, T) -> broadcast heads
+    if causal:
+        q_pos = q_offset + jnp.arange(s)
+        causal_m = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
+        mask = mask & causal_m
+    scores = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    scores = jnp.where(mask, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhst,bthd->bshd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "q_offset", "scale", "block_q", "block_kv"),
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_offset: int = 0,
+    kv_mask: Optional[jax.Array] = None,
+    kv_lengths: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_kv: int = 256,
+) -> jax.Array:
+    """Flash attention on (B, S, H, D) / (B, T, H, D) inputs.
+
+    `kv_mask` (B, T) bool marks valid keys (mid-sequence pads allowed);
+    `kv_lengths` (B,) is the suffix-padding special case.  Sequences are
+    padded to block multiples internally.  Differentiable (custom VJP).
+    """
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    scale = float(d ** -0.5 if scale is None else scale)
+    if kv_mask is None:
+        if kv_lengths is None:
+            kv_mask = jnp.ones((b, t), bool)
+        else:
+            kv_mask = jnp.arange(t)[None, :] < kv_lengths[:, None]
+    mask_i32 = kv_mask.astype(jnp.int32)[:, None, :]  # (B, 1, T)
+
+    static = dict(
+        causal=causal, q_offset=q_offset, scale=scale,
+        block_q=block_q, block_kv=block_kv,
+    )
+
+    @jax.custom_vjp
+    def fa(q, k, v, m):
+        return _flash_forward(q, k, v, m, **static)
+
+    def fa_fwd(q, k, v, m):
+        return fa(q, k, v, m), (q, k, v, m)
+
+    def fa_bwd(res, g):
+        q, k, v, m = res
+        ref_static = dict(
+            causal=causal, q_offset=q_offset, scale=scale
+        )
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, m, **ref_static),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None
+
+    fa.defvjp(fa_fwd, fa_bwd)
+    return fa(q, k, v, mask_i32)
