@@ -1,0 +1,103 @@
+"""Tracker training: supervised / distillation losses + train step.
+
+The reference ships SpaTracker weights; our TPU-first tracker
+(models/tracker.py) trains from synthetic supervision or by distilling
+reference-tracker outputs (SURVEY.md §5.4 note on checkpoint families).
+Losses follow the CoTracker/SpaTracker recipe: Huber on track
+coordinates (xy in pixels, z in meters, weighted), BCE on visibility.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from egoscaler_tpu.models.tracker import SpaTracker, TrackerConfig
+
+
+def huber(x: jax.Array, delta: float = 6.0) -> jax.Array:
+    a = jnp.abs(x)
+    return jnp.where(a <= delta, 0.5 * a * a, delta * (a - 0.5 * delta))
+
+
+def tracking_loss(
+    pred_tracks: jax.Array,   # (T, Q, 3)
+    pred_vis: jax.Array,      # (T, Q) in (0, 1)
+    gt_tracks: jax.Array,     # (T, Q, 3)
+    gt_vis: jax.Array,        # (T, Q) bool
+    z_weight: float = 10.0,   # meters vs pixels scale balance
+) -> Dict[str, jax.Array]:
+    w = gt_vis.astype(jnp.float32)
+    xy_err = huber(pred_tracks[..., :2] - gt_tracks[..., :2]).sum(-1)
+    z_err = huber(
+        (pred_tracks[..., 2] - gt_tracks[..., 2]) * z_weight, delta=2.0
+    )
+    coord = jnp.sum((xy_err + z_err) * w) / jnp.sum(w).clip(1.0)
+    vis = optax.sigmoid_binary_cross_entropy(
+        jnp.log(pred_vis.clip(1e-6, 1 - 1e-6))
+        - jnp.log1p(-pred_vis.clip(1e-6, 1 - 1e-6)),
+        gt_vis.astype(jnp.float32),
+    ).mean()
+    return {"coord": coord, "vis": vis, "total": coord + vis}
+
+
+def make_tracker_train_step(
+    model: SpaTracker, tx: optax.GradientTransformation
+) -> Callable:
+    def loss_fn(params, batch):
+        tracks, vis = model.apply(
+            params, batch["clip"], batch["depths"], batch["queries"]
+        )
+        losses = tracking_loss(
+            tracks, vis, batch["gt_tracks"], batch["gt_vis"]
+        )
+        return losses["total"], losses
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (_, losses), grads = grad_fn(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, losses
+
+    return step
+
+
+def synthetic_tracking_batch(rng, t=4, h=48, w=48, q=6):
+    """Textured drifting scene with known tracks, for tests/smoke
+    training."""
+    import numpy as np
+
+    base = rng.normal(size=(h // 4, w // 4, 3))
+    img = np.asarray(
+        jax.image.resize(jnp.asarray(base), (h, w, 3), method="bicubic")
+    )
+    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+    clip, gt = [], []
+    q0 = np.stack(
+        [rng.uniform(10, w - 10, q), rng.uniform(10, h - 10, q)], axis=1
+    ).astype(np.float32)
+    for ti in range(t):
+        dx, dy = 0.7 * ti, 0.3 * ti
+        ys = np.clip(np.arange(h) - dy, 0, h - 1).astype(int)
+        xs = np.clip(np.arange(w) - dx, 0, w - 1).astype(int)
+        clip.append(img[ys][:, xs])
+        gt.append(
+            np.concatenate(
+                [q0 + [dx, dy], np.full((q, 1), 2.0, np.float32)], axis=1
+            )
+        )
+    return {
+        "clip": jnp.asarray(np.stack(clip), jnp.float32),
+        "depths": jnp.full((t, h, w), 2.0, jnp.float32),
+        "queries": jnp.asarray(
+            np.concatenate([q0, np.full((q, 1), 2.0, np.float32)], axis=1)
+        ),
+        "gt_tracks": jnp.asarray(np.stack(gt)),
+        "gt_vis": jnp.ones((t, q), bool),
+    }
