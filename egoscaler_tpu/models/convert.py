@@ -295,6 +295,98 @@ def convert_depth_anything(sd: Dict[str, np.ndarray], depth: int = 24) -> dict:
     return nested
 
 
+def convert_sam(sd: Dict[str, np.ndarray], num_vision_layers: int,
+                num_decoder_layers: int = 2) -> dict:
+    """HF facebook/sam-vit-* state_dict -> flax variables for
+    models/sam.SamModel (validated against transformers SamModel)."""
+    out: Dict[str, np.ndarray] = {}
+
+    out["params/shared_image_embedding/positional_embedding"] = sd[
+        "shared_image_embedding.positional_embedding"
+    ]
+
+    v = "vision_encoder"
+    out[f"params/{v}/pos_embed"] = sd[f"{v}.pos_embed"]
+    out[f"params/{v}/patch_embed/kernel"] = sd[
+        f"{v}.patch_embed.projection.weight"
+    ].transpose(2, 3, 1, 0)
+    out[f"params/{v}/patch_embed/bias"] = sd[f"{v}.patch_embed.projection.bias"]
+    for i in range(num_vision_layers):
+        b = f"{v}.layers.{i}"
+        t = f"{v}/layers_{i}"
+        _layernorm(sd, f"{b}.layer_norm1", out, f"{t}/layer_norm1")
+        _layernorm(sd, f"{b}.layer_norm2", out, f"{t}/layer_norm2")
+        _linear(sd, f"{b}.attn.qkv", out, f"{t}/attn/qkv")
+        _linear(sd, f"{b}.attn.proj", out, f"{t}/attn/proj")
+        out[f"params/{t}/attn/rel_pos_h"] = sd[f"{b}.attn.rel_pos_h"]
+        out[f"params/{t}/attn/rel_pos_w"] = sd[f"{b}.attn.rel_pos_w"]
+        _linear(sd, f"{b}.mlp.lin1", out, f"{t}/mlp_lin1")
+        _linear(sd, f"{b}.mlp.lin2", out, f"{t}/mlp_lin2")
+    _conv2d(sd, f"{v}.neck.conv1", out, f"{v}/neck_conv1")
+    _layernorm(sd, f"{v}.neck.layer_norm1", out, f"{v}/neck_ln1")
+    _conv2d(sd, f"{v}.neck.conv2", out, f"{v}/neck_conv2")
+    _layernorm(sd, f"{v}.neck.layer_norm2", out, f"{v}/neck_ln2")
+
+    p = "prompt_encoder"
+    out[f"params/{p}/shared_embedding/positional_embedding"] = sd[
+        f"{p}.shared_embedding.positional_embedding"
+    ]
+    for i in range(4):
+        out[f"params/{p}/point_embed_{i}"] = sd[f"{p}.point_embed.{i}.weight"]
+    out[f"params/{p}/not_a_point_embed"] = sd[f"{p}.not_a_point_embed.weight"]
+    out[f"params/{p}/no_mask_embed"] = sd[f"{p}.no_mask_embed.weight"]
+
+    m = "mask_decoder"
+    out[f"params/{m}/iou_token"] = sd[f"{m}.iou_token.weight"]
+    out[f"params/{m}/mask_tokens"] = sd[f"{m}.mask_tokens.weight"]
+    for i in range(num_decoder_layers):
+        b = f"{m}.transformer.layers.{i}"
+        t = f"{m}/layers_{i}"
+        for attn in ("self_attn", "cross_attn_token_to_image",
+                     "cross_attn_image_to_token"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                _linear(sd, f"{b}.{attn}.{proj}", out, f"{t}/{attn}/{proj}")
+        for ln in ("layer_norm1", "layer_norm2", "layer_norm3", "layer_norm4"):
+            _layernorm(sd, f"{b}.{ln}", out, f"{t}/{ln}")
+        _linear(sd, f"{b}.mlp.lin1", out, f"{t}/mlp_lin1")
+        _linear(sd, f"{b}.mlp.lin2", out, f"{t}/mlp_lin2")
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        _linear(
+            sd, f"{m}.transformer.final_attn_token_to_image.{proj}", out,
+            f"{m}/final_attn_token_to_image/{proj}",
+        )
+    _layernorm(
+        sd, f"{m}.transformer.layer_norm_final_attn", out,
+        f"{m}/layer_norm_final_attn",
+    )
+    _convT2d(sd, f"{m}.upscale_conv1", out, f"{m}/upscale_conv1")
+    _convT2d(sd, f"{m}.upscale_conv2", out, f"{m}/upscale_conv2")
+    _layernorm(sd, f"{m}.upscale_layer_norm", out, f"{m}/upscale_layer_norm")
+    n_mask_tokens = sd[f"{m}.mask_tokens.weight"].shape[0]
+    for i in range(n_mask_tokens):
+        b = f"{m}.output_hypernetworks_mlps.{i}"
+        t = f"{m}/hyper_mlps_{i}"
+        _linear(sd, f"{b}.proj_in", out, f"{t}/proj_in")
+        _linear(sd, f"{b}.proj_out", out, f"{t}/proj_out")
+        j = 0
+        while f"{b}.layers.{j}.weight" in sd:
+            _linear(sd, f"{b}.layers.{j}", out, f"{t}/layers_{j}")
+            j += 1
+    b = f"{m}.iou_prediction_head"
+    t = f"{m}/iou_prediction_head"
+    _linear(sd, f"{b}.proj_in", out, f"{t}/proj_in")
+    _linear(sd, f"{b}.proj_out", out, f"{t}/proj_out")
+    j = 0
+    while f"{b}.layers.{j}.weight" in sd:
+        _linear(sd, f"{b}.layers.{j}", out, f"{t}/layers_{j}")
+        j += 1
+
+    nested = traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in out.items()}
+    )
+    return nested
+
+
 def export_pointllm(variables: dict) -> Dict[str, np.ndarray]:
     """Inverse conversion: flax variables -> torch-layout state_dict
     (for writing checkpoints the reference harness can load)."""

@@ -63,6 +63,66 @@ class HFSamSegmenter:
         return (m > 0).numpy()
 
 
+class JaxSamSegmenter:
+    """JAX-native SAM (models/sam.py) behind the Segmenter protocol.
+
+    Loads HF sam-vit-* checkpoints via convert_sam; picks the best mask
+    by predicted IoU per box."""
+
+    def __init__(self, checkpoint_path: Optional[str] = None, cfg=None,
+                 params=None, rng_seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from egoscaler_tpu.models.sam import SamConfig, SamModel
+
+        self.cfg = cfg or SamConfig.vit_h()
+        self.model = SamModel(self.cfg)
+        if params is not None:
+            self.params = params
+        elif checkpoint_path is not None:
+            from egoscaler_tpu.models.convert import convert_sam, load_torch_file
+
+            self.params = convert_sam(
+                load_torch_file(checkpoint_path),
+                num_vision_layers=self.cfg.vision.num_layers,
+                num_decoder_layers=self.cfg.decoder.num_layers,
+            )
+        else:
+            s = self.cfg.vision.image_size
+            self.params = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, s, s, 3), jnp.float32),
+                input_boxes=jnp.zeros((1, 1, 4), jnp.float32),
+            )
+        self._fwd = jax.jit(
+            lambda p, img, boxes: self.model.apply(p, img, input_boxes=boxes)
+        )
+
+    def segment(self, image, boxes):
+        import jax
+        import jax.numpy as jnp
+
+        h, w = image.shape[:2]
+        s = self.cfg.vision.image_size
+        img = jax.image.resize(
+            jnp.asarray(image, jnp.float32) / 255.0, (s, s, 3), "linear"
+        )
+        # ImageNet normalization (HF SamProcessor)
+        mean = jnp.asarray([0.485, 0.456, 0.406])
+        std = jnp.asarray([0.229, 0.224, 0.225])
+        img = ((img - mean) / std)[None]
+        scale = jnp.asarray([s / w, s / h, s / w, s / h], jnp.float32)
+        bx = jnp.asarray(boxes, jnp.float32)[None] * scale
+        masks, iou = self._fwd(self.params, img, bx)
+        best = jnp.argmax(iou[0], axis=-1)  # (P,)
+        sel = jnp.take_along_axis(
+            masks[0], best[:, None, None, None], axis=1
+        )[:, 0]  # (P, gh, gw)
+        sel = jax.image.resize(sel, (sel.shape[0], h, w), "linear")
+        return np.asarray(sel > 0)
+
+
 class GrabCutSegmenter:
     """Box-seeded cv2 GrabCut — weight-free segmentation fallback."""
 

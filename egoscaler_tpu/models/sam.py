@@ -1,0 +1,557 @@
+"""Segment Anything (SAM) in flax — JAX-native segmenter.
+
+Rebuild of the reference's SAM dependency (GroundedSAM's
+facebook/sam-vit-huge, third_party/grounded_sam/grounded_sam.py:96-99)
+matching the HF `SamModel` computation exactly (validated against
+transformers at fp32 tolerance in tests/test_sam.py):
+
+* vision encoder: patch-16 ViT with windowed attention (global at
+  configured layers) and decomposed relative position biases, absolute
+  pos embed, conv neck with channel LayerNorms;
+* prompt encoder: random-Fourier positional embedding shared with the
+  decoder, point/box/mask prompts;
+* mask decoder: two-way transformer (token self-attn, token->image and
+  image->token cross-attn with 2x downsampled inner dim), IoU token +
+  mask tokens, transposed-conv upscaling, per-token hypernetwork MLPs.
+
+TPU notes: attention runs via jnp einsum in f32 (XLA fuses; image grid
+is 64x64 = 4096 tokens at 1024^2 input — within the fused-attention
+sweet spot), window partitioning is pure reshape/transpose.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class SamVisionCfg:
+    hidden_size: int = 1280           # vit-h
+    num_layers: int = 32
+    num_heads: int = 16
+    image_size: int = 1024
+    patch_size: int = 16
+    window_size: int = 14
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    output_channels: int = 256
+    mlp_dim: int = 5120
+    num_pos_feats: int = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class SamDecoderCfg:
+    hidden_size: int = 256
+    num_layers: int = 2
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class SamConfig:
+    vision: SamVisionCfg = SamVisionCfg()
+    decoder: SamDecoderCfg = SamDecoderCfg()
+    prompt_hidden: int = 256
+    mask_input_channels: int = 16
+
+    @property
+    def image_embedding_size(self) -> int:
+        return self.vision.image_size // self.vision.patch_size
+
+    @staticmethod
+    def vit_h() -> "SamConfig":
+        return SamConfig()
+
+    @staticmethod
+    def vit_b() -> "SamConfig":
+        return SamConfig(
+            vision=SamVisionCfg(
+                hidden_size=768, num_layers=12, num_heads=12,
+                global_attn_indexes=(2, 5, 8, 11), mlp_dim=3072,
+            )
+        )
+
+    def tiny(self) -> "SamConfig":
+        return SamConfig(
+            vision=SamVisionCfg(
+                hidden_size=32, num_layers=2, num_heads=2, image_size=64,
+                patch_size=8, window_size=2, global_attn_indexes=(1,),
+                output_channels=16, mlp_dim=64, num_pos_feats=8,
+            ),
+            decoder=SamDecoderCfg(
+                hidden_size=16, num_layers=2, num_heads=2, mlp_dim=32,
+                iou_head_depth=2, iou_head_hidden_dim=16,
+            ),
+            prompt_hidden=16,
+            mask_input_channels=4,
+        )
+
+
+class ChannelLayerNorm(nn.Module):
+    """SamLayerNorm over the channel axis of NHWC tensors (eps 1e-6)."""
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + 1e-6)
+        w = self.param("scale", nn.initializers.ones, (dim,))
+        b = self.param("bias", nn.initializers.zeros, (dim,))
+        return x * w + b
+
+
+def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
+    """(2*size-1, head_dim) table gathered at relative coords
+    (modeling_sam.get_rel_pos; linear interp when the table is short)."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear"
+        )
+    q_coords = jnp.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = jnp.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative.astype(jnp.int32)]
+
+
+class SamVisionAttention(nn.Module):
+    cfg: SamVisionCfg
+    input_size: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        cfg = self.cfg
+        b, h, w, c = x.shape
+        nh = cfg.num_heads
+        hd = c // nh
+        qkv = nn.Dense(3 * c, name="qkv")(x).reshape(b, h * w, 3, nh, hd)
+        q, k, v = (
+            qkv[:, :, 0].transpose(0, 2, 1, 3),
+            qkv[:, :, 1].transpose(0, 2, 1, 3),
+            qkv[:, :, 2].transpose(0, 2, 1, 3),
+        )  # (B, nh, HW, hd)
+        scale = hd ** -0.5
+        attn = jnp.einsum(
+            "bnqd,bnkd->bnqk", q * scale, k,
+            preferred_element_type=jnp.float32,
+        )
+
+        rel_pos_h = self.param(
+            "rel_pos_h", nn.initializers.zeros,
+            (2 * self.input_size[0] - 1, hd),
+        )
+        rel_pos_w = self.param(
+            "rel_pos_w", nn.initializers.zeros,
+            (2 * self.input_size[1] - 1, hd),
+        )
+        rh = _get_rel_pos(h, h, rel_pos_h)  # (h, h, hd)
+        rw = _get_rel_pos(w, w, rel_pos_w)  # (w, w, hd)
+        rq = q.reshape(b, nh, h, w, hd)
+        rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
+        rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
+        bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B,nh,h,w,h,w)
+        attn = attn + bias.reshape(b, nh, h * w, h * w)
+
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        out = jnp.einsum(
+            "bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+def window_partition(x, ws):
+    b, h, w, c = x.shape
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    ph, pw = h + pad_h, w + pad_w
+    x = x.reshape(b, ph // ws, ws, pw // ws, ws, c)
+    return (
+        x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c),
+        (ph, pw),
+    )
+
+
+def window_unpartition(windows, ws, padded, original):
+    ph, pw = padded
+    h, w = original
+    b = windows.shape[0] // (ph * pw // ws // ws)
+    x = windows.reshape(b, ph // ws, pw // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, -1)
+    return x[:, :h, :w]
+
+
+class SamVisionLayer(nn.Module):
+    cfg: SamVisionCfg
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        shortcut = x
+        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm1")(x)
+        if self.window_size > 0:
+            hh, ww = h.shape[1], h.shape[2]
+            h, padded = window_partition(h, self.window_size)
+            in_size = (self.window_size, self.window_size)
+        else:
+            in_size = (h.shape[1], h.shape[2])
+        h = SamVisionAttention(cfg, input_size=in_size, name="attn")(h)
+        if self.window_size > 0:
+            h = window_unpartition(h, self.window_size, padded, (hh, ww))
+        x = shortcut + h
+        h = nn.LayerNorm(epsilon=1e-6, name="layer_norm2")(x)
+        h = nn.Dense(cfg.mlp_dim, name="mlp_lin1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.hidden_size, name="mlp_lin2")(h)
+        return x + h
+
+
+class SamVisionEncoder(nn.Module):
+    cfg: SamVisionCfg
+
+    @nn.compact
+    def __call__(self, pixel_values):  # (B, H, W, 3) normalized
+        cfg = self.cfg
+        grid = cfg.image_size // cfg.patch_size
+        x = nn.Conv(
+            cfg.hidden_size, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+            name="patch_embed",
+        )(pixel_values)
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros,
+            (1, grid, grid, cfg.hidden_size),
+        )
+        x = x + pos
+        for i in range(cfg.num_layers):
+            ws = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = SamVisionLayer(cfg, window_size=ws, name=f"layers_{i}")(x)
+        # neck (NHWC convs, channel LN)
+        x = nn.Conv(cfg.output_channels, (1, 1), use_bias=False,
+                    name="neck_conv1")(x)
+        x = ChannelLayerNorm(name="neck_ln1")(x)
+        x = nn.Conv(cfg.output_channels, (3, 3), padding=1, use_bias=False,
+                    name="neck_conv2")(x)
+        x = ChannelLayerNorm(name="neck_ln2")(x)
+        return x  # (B, grid, grid, out_ch)
+
+
+class SamPositionalEmbedding(nn.Module):
+    """Random-Fourier coordinate embedding (shared image/prompt)."""
+
+    num_pos_feats: int = 128
+    scale_init: float = 1.0
+
+    @nn.compact
+    def __call__(self, coords):  # (..., 2) in [0, 1]
+        pe = self.param(
+            "positional_embedding",
+            nn.initializers.normal(self.scale_init),
+            (2, self.num_pos_feats),
+        )
+        c = 2.0 * coords - 1.0
+        c = c @ pe
+        c = 2.0 * jnp.pi * c
+        return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
+
+
+class SamPromptEncoder(nn.Module):
+    cfg: SamConfig
+
+    def setup(self):
+        self.shared_embedding = SamPositionalEmbedding(
+            self.cfg.vision.num_pos_feats,
+            scale_init=float(self.cfg.prompt_hidden // 2),
+            name="shared_embedding",
+        )
+        d = self.cfg.prompt_hidden
+        init = nn.initializers.normal(1.0)
+        self.point_embed = [
+            self.param(f"point_embed_{i}", init, (1, d)) for i in range(4)
+        ]
+        self.not_a_point_embed = self.param("not_a_point_embed", init, (1, d))
+        self.no_mask_embed = self.param("no_mask_embed", init, (1, d))
+
+    def embed_points(self, points, labels, pad: bool):
+        """points (B, P, N, 2) pixel coords, labels (B, P, N)."""
+        points = points + 0.5
+        if pad:
+            b, p = points.shape[:2]
+            points = jnp.concatenate(
+                [points, jnp.zeros((b, p, 1, 2), points.dtype)], axis=2
+            )
+            labels = jnp.concatenate(
+                [labels, -jnp.ones((b, p, 1), labels.dtype)], axis=2
+            )
+        size = self.cfg.vision.image_size
+        pe = self.shared_embedding(points / size)
+        pe = jnp.where(labels[..., None] == -1, self.not_a_point_embed, pe)
+        pe = jnp.where(
+            (labels == 0)[..., None], pe + self.point_embed[0], pe
+        )
+        pe = jnp.where(
+            (labels == 1)[..., None], pe + self.point_embed[1], pe
+        )
+        return pe
+
+    def embed_boxes(self, boxes):
+        """(B, P, 4) -> (B, P, 2, d) corner embeddings."""
+        boxes = boxes + 0.5
+        b, p = boxes.shape[:2]
+        coords = boxes.reshape(b, p, 2, 2)
+        size = self.cfg.vision.image_size
+        pe = self.shared_embedding(coords / size)
+        pe = pe.at[:, :, 0, :].add(self.point_embed[2][0])
+        pe = pe.at[:, :, 1, :].add(self.point_embed[3][0])
+        return pe
+
+    def __call__(self, input_points, input_labels, input_boxes):
+        sparse = None
+        if input_points is not None:
+            sparse = self.embed_points(
+                input_points, input_labels, pad=input_boxes is None
+            )
+        if input_boxes is not None:
+            be = self.embed_boxes(input_boxes)
+            sparse = be if sparse is None else jnp.concatenate([sparse, be], 2)
+        s = self.cfg.image_embedding_size
+        dense = jnp.broadcast_to(
+            self.no_mask_embed.reshape(1, 1, 1, -1),
+            (1, s, s, self.cfg.prompt_hidden),
+        )
+        return sparse, dense
+
+
+class SamAttention(nn.Module):
+    cfg: SamDecoderCfg
+    downsample_rate: int = 1
+
+    @nn.compact
+    def __call__(self, query, key, value):  # (B, P, N, C)
+        d = self.cfg.hidden_size
+        internal = d // self.downsample_rate
+        nh = self.cfg.num_heads
+        hd = internal // nh
+        q = nn.Dense(internal, name="q_proj")(query)
+        k = nn.Dense(internal, name="k_proj")(key)
+        v = nn.Dense(internal, name="v_proj")(value)
+        b, p, nq, _ = q.shape
+        nk = k.shape[2]
+
+        def split(x, n):
+            return x.reshape(b * p, n, nh, hd).transpose(0, 2, 1, 3)
+
+        qh, kh, vh = split(q, nq), split(k, nk), split(v, nk)
+        attn = jnp.einsum(
+            "bnqd,bnkd->bnqk", qh * (hd ** -0.5), kh,
+            preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(attn.astype(jnp.float32), -1).astype(q.dtype)
+        out = jnp.einsum(
+            "bnqk,bnkd->bnqd", attn, vh, preferred_element_type=jnp.float32
+        ).astype(q.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, p, nq, internal)
+        return nn.Dense(d, name="out_proj")(out)
+
+
+class SamTwoWayBlock(nn.Module):
+    cfg: SamDecoderCfg
+    skip_first_layer_pe: bool
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        cfg = self.cfg
+        if self.skip_first_layer_pe:
+            queries = SamAttention(cfg, 1, name="self_attn")(
+                queries, queries, queries
+            )
+        else:
+            q = queries + query_pe
+            queries = queries + SamAttention(cfg, 1, name="self_attn")(
+                q, q, queries
+            )
+        queries = nn.LayerNorm(name="layer_norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + SamAttention(
+            cfg, cfg.attention_downsample_rate, name="cross_attn_token_to_image"
+        )(q, k, keys)
+        queries = nn.LayerNorm(name="layer_norm2")(queries)
+
+        h = nn.Dense(cfg.mlp_dim, name="mlp_lin1")(queries)
+        h = nn.relu(h)
+        h = nn.Dense(cfg.hidden_size, name="mlp_lin2")(h)
+        queries = nn.LayerNorm(name="layer_norm3")(queries + h)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        keys = keys + SamAttention(
+            cfg, cfg.attention_downsample_rate, name="cross_attn_image_to_token"
+        )(k, q, queries)
+        keys = nn.LayerNorm(name="layer_norm4")(keys)
+        return queries, keys
+
+
+class SamFeedForward(nn.Module):
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, name="proj_in")(x)
+        x = nn.relu(x)
+        for i in range(self.num_layers - 2):
+            x = nn.relu(nn.Dense(self.hidden_dim, name=f"layers_{i}")(x))
+        x = nn.Dense(self.output_dim, name="proj_out")(x)
+        return nn.sigmoid(x) if self.sigmoid_output else x
+
+
+class SamMaskDecoder(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        image_embeddings,       # (B, g, g, C)
+        image_pe,               # (B, g, g, C)
+        sparse_embeddings,      # (B, P, N, C) or None
+        dense_embeddings,       # (B or 1, g, g, C)
+        multimask_output: bool = True,
+    ):
+        dcfg = self.cfg.decoder
+        d = dcfg.hidden_size
+        num_mask_tokens = dcfg.num_multimask_outputs + 1
+        b, g, _, c = image_embeddings.shape
+        p = sparse_embeddings.shape[1] if sparse_embeddings is not None else 1
+
+        iou_token = self.param(
+            "iou_token", nn.initializers.normal(1.0), (1, d)
+        )
+        mask_tokens = self.param(
+            "mask_tokens", nn.initializers.normal(1.0), (num_mask_tokens, d)
+        )
+        output_tokens = jnp.concatenate([iou_token, mask_tokens], axis=0)
+        output_tokens = jnp.broadcast_to(
+            output_tokens[None, None], (b, p, 1 + num_mask_tokens, d)
+        )
+        tokens = (
+            jnp.concatenate([output_tokens, sparse_embeddings], axis=2)
+            if sparse_embeddings is not None else output_tokens
+        )
+
+        img = image_embeddings + dense_embeddings
+        # flatten to (B, P, g*g, C)
+        img = jnp.repeat(img.reshape(b, 1, g * g, c), p, axis=1)
+        img_pe = jnp.repeat(image_pe.reshape(b, 1, g * g, c), p, axis=1)
+
+        queries, keys = tokens, img
+        for i in range(dcfg.num_layers):
+            queries, keys = SamTwoWayBlock(
+                dcfg, skip_first_layer_pe=(i == 0), name=f"layers_{i}"
+            )(queries, keys, tokens, img_pe)
+        q = queries + tokens
+        k = keys + img_pe
+        queries = queries + SamAttention(
+            dcfg, dcfg.attention_downsample_rate,
+            name="final_attn_token_to_image",
+        )(q, k, keys)
+        queries = nn.LayerNorm(name="layer_norm_final_attn")(queries)
+
+        iou_token_out = queries[:, :, 0]
+        mask_tokens_out = queries[:, :, 1: 1 + num_mask_tokens]
+
+        # upscale (B*P, g, g, C) -> (B*P, 4g, 4g, C/8)
+        img_sp = keys.reshape(b * p, g, g, c)
+        up = nn.ConvTranspose(
+            d // 4, (2, 2), strides=(2, 2), padding="VALID",
+            name="upscale_conv1",
+        )(img_sp)
+        up = ChannelLayerNorm(name="upscale_layer_norm")(up)
+        up = nn.gelu(up, approximate=False)
+        up = nn.ConvTranspose(
+            d // 8, (2, 2), strides=(2, 2), padding="VALID",
+            name="upscale_conv2",
+        )(up)
+        up = nn.gelu(up, approximate=False)
+        gh = up.shape[1]
+
+        hyper = jnp.stack(
+            [
+                SamFeedForward(d, d // 8, 3, name=f"hyper_mlps_{i}")(
+                    mask_tokens_out[:, :, i]
+                )
+                for i in range(num_mask_tokens)
+            ],
+            axis=2,
+        )  # (B, P, M, C/8)
+        up_flat = up.reshape(b, p, gh * gh, d // 8)
+        masks = jnp.einsum(
+            "bpmc,bpqc->bpmq", hyper, up_flat,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, p, num_mask_tokens, gh, gh).astype(up.dtype)
+
+        iou_pred = SamFeedForward(
+            dcfg.iou_head_hidden_dim, num_mask_tokens, dcfg.iou_head_depth,
+            name="iou_prediction_head",
+        )(iou_token_out)
+
+        sl = slice(1, None) if multimask_output else slice(0, 1)
+        return masks[:, :, sl], iou_pred[:, :, sl]
+
+
+class SamModel(nn.Module):
+    cfg: SamConfig
+
+    def setup(self):
+        self.shared_image_embedding = SamPositionalEmbedding(
+            self.cfg.vision.num_pos_feats,
+            scale_init=float(self.cfg.prompt_hidden // 2),
+            name="shared_image_embedding",
+        )
+        self.vision_encoder = SamVisionEncoder(self.cfg.vision,
+                                               name="vision_encoder")
+        self.prompt_encoder = SamPromptEncoder(self.cfg, name="prompt_encoder")
+        self.mask_decoder = SamMaskDecoder(self.cfg, name="mask_decoder")
+
+    def image_wide_pe(self, batch: int):
+        s = self.cfg.image_embedding_size
+        grid = jnp.ones((s, s), jnp.float32)
+        y = (jnp.cumsum(grid, axis=0) - 0.5) / s
+        x = (jnp.cumsum(grid, axis=1) - 0.5) / s
+        pe = self.shared_image_embedding(jnp.stack([x, y], axis=-1))
+        return jnp.broadcast_to(pe[None], (batch,) + pe.shape)
+
+    def __call__(
+        self,
+        pixel_values,                 # (B, H, W, 3)
+        input_points=None,            # (B, P, N, 2)
+        input_labels=None,            # (B, P, N)
+        input_boxes=None,             # (B, P, 4)
+        multimask_output: bool = True,
+    ):
+        image_embeddings = self.vision_encoder(pixel_values)
+        b = image_embeddings.shape[0]
+        image_pe = self.image_wide_pe(b)
+        if input_points is not None and input_labels is None:
+            input_labels = jnp.ones(input_points.shape[:3], jnp.int32)
+        sparse, dense = self.prompt_encoder(
+            input_points, input_labels, input_boxes
+        )
+        masks, iou = self.mask_decoder(
+            image_embeddings, image_pe, sparse, dense, multimask_output
+        )
+        return masks, iou
