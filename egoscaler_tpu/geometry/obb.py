@@ -30,7 +30,11 @@ def _masked_knn_mean_dist(
     points: jax.Array, mask: jax.Array, k: int
 ) -> jax.Array:
     """Mean distance of each point to its k nearest valid neighbors."""
-    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    d2 = -2.0 * jnp.matmul(
+        points, points.T, precision=jax.lax.Precision.HIGHEST
+    )
+    sq = jnp.sum(points * points, axis=-1)
+    d2 = jnp.maximum(d2 + sq[:, None] + sq[None, :], 0.0)
     n = points.shape[0]
     eye = jnp.eye(n, dtype=bool)
     d2 = jnp.where(eye | ~mask[None, :], _BIG, d2)

@@ -15,6 +15,16 @@ import jax.numpy as jnp
 _BIG = 1e10
 
 
+def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(N,3)x(M,3) -> (N,M) squared distances via the matmul identity
+    ||a-b||^2 = |a|^2 + |b|^2 - 2 a.b — one MXU matmul instead of an
+    (N, M, 3) broadcast intermediate (200 MB at 4096^2 keypoints)."""
+    d = -2.0 * jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    d = d + jnp.sum(a * a, axis=-1)[:, None]
+    d = d + jnp.sum(b * b, axis=-1)[None, :]
+    return jnp.maximum(d, 0.0)
+
+
 def hybrid_knn(
     points: jax.Array,
     mask: jax.Array,
@@ -28,7 +38,7 @@ def hybrid_knn(
     of each point (including the point itself when include_self, matching
     Open3D's search semantics for normal estimation).
     """
-    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    d2 = _pairwise_sqdist(points, points)
     m = points.shape[0]
     if not include_self:
         d2 = d2 + jnp.eye(m, dtype=d2.dtype) * _BIG
@@ -47,7 +57,7 @@ def cross_knn(
     k: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Nearest valid `points` for each `query` row: (Q,k) idx, (Q,k) dist."""
-    d2 = jnp.sum((query[:, None, :] - points[None, :, :]) ** 2, axis=-1)
+    d2 = _pairwise_sqdist(query, points)
     d2 = jnp.where(points_mask[None, :], d2, _BIG)
     neg, idx = jax.lax.top_k(-d2, k)
     dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
