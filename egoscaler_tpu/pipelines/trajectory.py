@@ -76,6 +76,7 @@ def extract_trajectory(
     num_hypotheses: int = 4096,
     key: Optional[jax.Array] = None,
     map_batch: int = 1,
+    cloud_stride: int = 1,
 ) -> TrajectoryResult:
     """`map_batch` > 1 vmaps that many frames/pairs at a time through the
     per-frame/per-pair stages.  Measured on v5e-lite: serial (1) wins —
@@ -107,10 +108,18 @@ def extract_trajectory(
     )  # (T, Q, 3)
 
     # ---- per-frame background clouds + keypoints (7_get:244-261) -------
+    # `cloud_stride` decimates pixels feeding the REGISTRATION cloud only
+    # (tracks stay full-res): at voxel 0.1 m the grid averages ~10^2+
+    # pixels per cell at 1408^2, so stride-2/4 decimation changes voxel
+    # means negligibly while cutting the dominant 2M-point sort 4-16x.
     def prep(frame_and_mask):
         rgbd, bmask = frame_and_mask
+        if cloud_stride > 1:
+            rgbd = rgbd[::cloud_stride, ::cloud_stride]
+            bmask = bmask[::cloud_stride, ::cloud_stride]
         pts, cols, valid = get_points_colors(
-            rgbd, focal_len, focal_len, principal_point,
+            rgbd, focal_len / cloud_stride, focal_len / cloud_stride,
+            principal_point / cloud_stride,
             bbox_mask=bmask, d_thres=cfg.depth_threshold,
         )
         return prepare_cloud(pts, cols, valid, cfg.pcm, max_keypoints)
