@@ -90,6 +90,7 @@ def process_clip(
     max_keypoints: int = 4096,
     num_hypotheses: int = 4096,
     key=None,
+    tracker=None,
 ) -> Optional[Dict]:
     """One candidate -> trajectory dict, or None when any guard trips."""
     from PIL import Image
@@ -151,10 +152,24 @@ def process_clip(
     n_q = int(np.asarray(qvalid).sum())
     if n_q < 4:
         return None
-    tracks = np.asarray(
-        lk_track_clip(jnp.asarray(clip, jnp.float32), jnp.asarray(depths),
-                      qpts)
-    )
+    if tracker is not None:
+        # learned tracker (models/tracker.SpaTrackerPredictor interface)
+        z0 = depths[0][
+            np.clip(np.asarray(qpts[:, 1]).astype(int), 0, h - 1),
+            np.clip(np.asarray(qpts[:, 0]).astype(int), 0, w - 1),
+        ]
+        queries = jnp.concatenate(
+            [qpts, jnp.asarray(z0)[:, None]], axis=1
+        )
+        tracks = np.asarray(
+            tracker(jnp.asarray(clip, jnp.float32) / 255.0,
+                    jnp.asarray(depths), queries)
+        )
+    else:
+        tracks = np.asarray(
+            lk_track_clip(jnp.asarray(clip, jnp.float32),
+                          jnp.asarray(depths), qpts)
+        )
     tracks = tracks[:, :n_q]
 
     masks = boxes_to_mask_arrays(bboxes, times, h, w)
