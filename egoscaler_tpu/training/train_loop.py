@@ -28,6 +28,25 @@ from egoscaler_tpu.training.trainer import (
 )
 
 
+def device_prefetch(batch_iter, keys=("input_ids", "attention_mask",
+                                      "point_clouds"), depth: int = 2):
+    """Stage upcoming batches onto the device while the current step
+    runs (jax dispatch is async, so device_put overlaps compute).  On
+    tunneled/remote chips host->device transfer dominates small-model
+    steps — measured 2.1 s/step tiny-config without prefetch."""
+    import collections
+
+    q = collections.deque()
+    for raw in batch_iter:
+        batch = {k: jax.device_put(np.asarray(raw[k])) for k in keys
+                 if k in raw}
+        q.append(batch)
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
+
+
 def train(
     cfg: PointLLMConfig,
     tcfg: TrainConfig,
@@ -74,11 +93,9 @@ def train(
     for epoch in range(start_epoch, tcfg.epochs):
         t0 = time.time()
         losses = []
-        for i, raw in enumerate(
-            train_ds.batches(tcfg.batch_size, shuffle=True)
+        for i, batch in enumerate(
+            device_prefetch(train_ds.batches(tcfg.batch_size, shuffle=True))
         ):
-            batch = {k: jnp.asarray(v) for k, v in raw.items()
-                     if k in ("input_ids", "attention_mask", "point_clouds")}
             state, metrics = step_fn(state, batch)
             losses.append(metrics["loss"])
             if i % log_every == 0:
