@@ -195,17 +195,21 @@ class TrajectoryDataset:
         return len(self.samples)
 
     # ---- normalization (dataset.py:58-124) ----
+    # NOTE: host-side encoding is pure numpy — per-sample eager JAX ops
+    # cost ~30 ms each through remote-device relays and dominated step
+    # time (2.4 s/step measured) before this was numpy-ified.
     def _prep_traj(self, traj: np.ndarray) -> np.ndarray:
         t = traj.shape[0]
-        padded = np.zeros((max(t, self.cfg.traj.num_steps), 6), np.float32)
-        padded[:t] = traj
-        out, _ = preprocess_traj(
-            jnp.asarray(padded), t, self.cfg.traj.num_steps
-        )
-        out = np.asarray(out)
+        num_steps = self.cfg.traj.num_steps
+        if t >= num_steps:
+            idx = np.linspace(0, t - 1, num_steps).astype(int)
+            out = traj[idx].astype(np.float32)
+        else:
+            pad = np.tile(traj[-1], (num_steps - t, 1))
+            out = np.vstack([traj, pad]).astype(np.float32)
         if self.smooth:
             out = np.asarray(
-                smoothing_traj(jnp.asarray(out), self.cfg.traj.num_steps)
+                smoothing_traj(jnp.asarray(out), num_steps)
             )
         return out
 
@@ -219,8 +223,27 @@ class TrajectoryDataset:
 
     # ---- the reconstructed tokenize/detokenize pair (SURVEY §8.1) ----
     def tokenize_traj(self, traj: np.ndarray) -> np.ndarray:
-        """(num_steps, 6) camera-frame -> (1 + 7*num_steps,) token ids."""
-        return np.asarray(self.tokenizer.encode_ids(jnp.asarray(traj)))
+        """(num_steps, 6) camera-frame -> (1 + 7*num_steps,) token ids.
+
+        Pure-numpy mirror of TrajTokenizer.encode_ids (host hot path)."""
+        tok = self.tokenizer
+        ws = tok.ws
+        traj = np.asarray(traj, np.float32)
+        x = (traj[:, 0] - ws.min_x) / (ws.max_x - ws.min_x) * 2.0 - 1.0
+        y = (traj[:, 1] - ws.min_y) / (ws.max_y - ws.min_y) * 2.0 - 1.0
+        z = (traj[:, 2] - ws.min_z) / (ws.max_z - ws.min_z) * 2.0 - 1.0
+        normed = np.concatenate(
+            [np.stack([x, y, z], 1), traj[:, 3:6] / np.pi], axis=1
+        )
+        bins = np.linspace(-1.0, 1.0, tok.cfg.num_bins)
+        ids = np.clip(
+            np.digitize(normed, bins) - 1, 0, tok.cfg.num_bins - 1
+        ).astype(np.int32) + tok.bin0_id
+        n = traj.shape[0]
+        seps = np.full((n, 1), tok.tsep_id, np.int32)
+        body = np.concatenate([ids, seps], axis=1).reshape(-1)
+        body[-1] = tok.te_id
+        return np.concatenate([[tok.ts_id], body]).astype(np.int32)
 
     def detokenize_traj(
         self, text_or_ids, num_bins: int = 256, max_abs=None
@@ -253,7 +276,13 @@ class TrajectoryDataset:
             sel = self.rng.choice(pc.shape[0], npts, replace=False)
         else:
             sel = self.rng.choice(pc.shape[0], npts, replace=True)
-        pc = np.asarray(pc_norm(jnp.asarray(pc[sel])), np.float32)
+        pc = pc[sel].astype(np.float32)
+        # pc_norm in numpy (host hot path)
+        xyz = pc[:, :3]
+        centroid = xyz.mean(axis=0)
+        xyz = xyz - centroid
+        m = np.sqrt((xyz ** 2).sum(axis=1)).max()
+        pc = np.concatenate([xyz / max(m, 1e-12), pc[:, 3:]], axis=1)
 
         traj = self._prep_traj(s.traj_rotvec)
         traj_ids = self.tokenize_traj(traj)  # [ts] wp0..wp19 w/ seps, [te]

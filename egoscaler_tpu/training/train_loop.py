@@ -30,21 +30,36 @@ from egoscaler_tpu.training.trainer import (
 
 def device_prefetch(batch_iter, keys=("input_ids", "attention_mask",
                                       "point_clouds"), depth: int = 2):
-    """Stage upcoming batches onto the device while the current step
-    runs (jax dispatch is async, so device_put overlaps compute).  On
-    tunneled/remote chips host->device transfer dominates small-model
-    steps — measured 2.1 s/step tiny-config without prefetch."""
-    import collections
+    """Stage upcoming batches onto the device from a background thread
+    while the current step runs.  device_put can be a synchronous RPC on
+    tunneled/remote chips, so async dispatch alone does not overlap —
+    a worker thread does (host->device transfer dominated small-model
+    steps: ~2.9 s/step tiny-config without overlap)."""
+    import queue
+    import threading
 
-    q = collections.deque()
-    for raw in batch_iter:
-        batch = {k: jax.device_put(np.asarray(raw[k])) for k in keys
-                 if k in raw}
-        q.append(batch)
-        if len(q) > depth:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for raw in batch_iter:
+                batch = {
+                    k: jax.device_put(np.asarray(raw[k]))
+                    for k in keys if k in raw
+                }
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        yield item
+    t.join()
 
 
 def train(
