@@ -248,14 +248,53 @@ class TrajectoryDataset:
     def detokenize_traj(
         self, text_or_ids, num_bins: int = 256, max_abs=None
     ) -> Optional[np.ndarray]:
-        """Token ids (np array) or decoded string -> (T, 6) trajectory."""
+        """Token ids (np array) or decoded string -> (T, 6) trajectory.
+
+        Pure-numpy mirror of TrajTokenizer.decode_ids (host hot path;
+        identical segment semantics incl. repeat-last fallbacks)."""
         if isinstance(text_or_ids, str):
             return self.tokenizer.decode_str(text_or_ids)
-        traj, n = self.tokenizer.decode_ids(jnp.asarray(text_or_ids))
-        n = int(n)
-        if n == 0:
+        tok = self.tokenizer
+        ids = np.asarray(text_or_ids).astype(np.int64)
+        t_max = tok.cfg.num_steps
+        rows: List[np.ndarray] = []
+        buf: List[int] = []
+        last: Optional[np.ndarray] = None
+        for v in ids:
+            if tok.bin0_id <= v < tok.bin0_id + tok.cfg.num_bins:
+                if len(buf) < 6:
+                    buf.append(int(v - tok.bin0_id))
+            elif v == tok.tsep_id or v == tok.te_id:
+                if len(buf) == 6:
+                    last = np.asarray(buf, np.int64)
+                    if len(rows) < t_max:
+                        rows.append(last)
+                elif last is not None and len(rows) < t_max:
+                    rows.append(last)
+                buf = []
+        if len(buf) == 6 and len(rows) < t_max:
+            rows.append(np.asarray(buf, np.int64))
+        if not rows:
             return None
-        return np.asarray(traj)[:n]
+        bins = np.linspace(-1.0, 1.0, tok.cfg.num_bins)
+        normed = bins[np.stack(rows)]
+        ws = tok.ws
+        p = (normed[:, :3] + 1.0) / 2.0
+        out = np.concatenate(
+            [
+                np.stack(
+                    [
+                        p[:, 0] * (ws.max_x - ws.min_x) + ws.min_x,
+                        p[:, 1] * (ws.max_y - ws.min_y) + ws.min_y,
+                        p[:, 2] * (ws.max_z - ws.min_z) + ws.min_z,
+                    ],
+                    axis=1,
+                ),
+                normed[:, 3:6] * np.pi,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        return out
 
     def denorm(self, traj: np.ndarray, max_abs: Optional[np.ndarray] = None):
         """dataset.py:126-148."""

@@ -127,3 +127,31 @@ def test_decode_ids_truncated_sequence(rng):
     cut = ids[: 1 + 7 * 3 + 6]  # ts + 3 full wps + 6 bins of wp3 (no sep)
     decoded, count = tok.decode_ids(cut)
     assert int(count) == 4
+
+
+def test_numpy_detokenize_matches_jax(rng):
+    """Host-side numpy detokenize must equal the device decode_ids on
+    well-formed, malformed, and truncated streams."""
+    from egoscaler_tpu.configs import PointLLMConfig
+    from egoscaler_tpu.training.dataset import TrajectoryDataset, synthetic_samples
+
+    cfg = PointLLMConfig().tiny()
+    ds = TrajectoryDataset(cfg, samples=synthetic_samples(cfg, 1))
+    tok = ds.tokenizer
+    traj = sample_traj(rng, t=6)
+    ids = np.asarray(tok.encode_ids(jnp.asarray(traj)))
+
+    cases = [ids]
+    bad = ids.copy(); bad[8] = tok.tsep_id; cases.append(bad)
+    cases.append(ids[: 1 + 7 * 2 + 6])            # truncated
+    cases.append(np.zeros(10, np.int32))          # garbage
+    for c in cases:
+        jax_traj, n = tok.decode_ids(jnp.asarray(c))
+        n = int(n)
+        np_traj = ds.detokenize_traj(c)
+        if n == 0:
+            assert np_traj is None
+        else:
+            np.testing.assert_allclose(
+                np_traj, np.asarray(jax_traj)[:n], atol=1e-5
+            )
