@@ -150,8 +150,10 @@ class DinoV2(nn.Module):
 
 def _resize_bilinear_ac(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear resize with align_corners=True (torch F.interpolate) for
-    NHWC tensors — jax.image.resize uses half-pixel centers, so do the
-    align-corners sampling manually via map_coordinates-style gather."""
+    NHWC tensors — jax.image.resize uses half-pixel centers, so sample
+    manually.  Separable (rows then cols): 2 gathers + lerps instead of
+    4 full-size gathers, halving HBM traffic on the big DPT-head
+    upsamples."""
     b, h, w, c = x.shape
     oh, ow = size
     ys = jnp.linspace(0.0, h - 1.0, oh)
@@ -160,18 +162,10 @@ def _resize_bilinear_ac(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     x0 = jnp.floor(xs).astype(jnp.int32).clip(0, w - 1)
     y1 = (y0 + 1).clip(0, h - 1)
     x1 = (x0 + 1).clip(0, w - 1)
-    dy = (ys - y0).reshape(1, oh, 1, 1)
-    dx = (xs - x0).reshape(1, 1, ow, 1)
-    v00 = x[:, y0][:, :, x0]
-    v01 = x[:, y0][:, :, x1]
-    v10 = x[:, y1][:, :, x0]
-    v11 = x[:, y1][:, :, x1]
-    return (
-        v00 * (1 - dy) * (1 - dx)
-        + v01 * (1 - dy) * dx
-        + v10 * dy * (1 - dx)
-        + v11 * dy * dx
-    )
+    dy = (ys - y0).astype(x.dtype).reshape(1, oh, 1, 1)
+    dx = (xs - x0).astype(x.dtype).reshape(1, 1, ow, 1)
+    rows = x[:, y0] * (1 - dy) + x[:, y1] * dy          # (B, oh, w, C)
+    return rows[:, :, x0] * (1 - dx) + rows[:, :, x1] * dx
 
 
 class ResidualConvUnit(nn.Module):
