@@ -52,6 +52,7 @@ class RMSNorm(nn.Module):
 
 class LlamaAttention(nn.Module):
     cfg: LlamaConfig
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(
@@ -75,12 +76,16 @@ class LlamaAttention(nn.Module):
         k = apply_rope(k, cos, sin, positions)
 
         if cache_k is not None:
-            # write this step's k/v at cache_index, attend over the cache
+            # write this step's k/v slice into the FULL stacked cache at
+            # (layer, 0, cache_index, 0, 0): one small write per layer,
+            # no whole-cache copies (in-place under the scan carry)
             cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype), (0, cache_index, 0, 0)
+                cache_k, k.astype(cache_k.dtype)[None],
+                (self.layer_idx, 0, cache_index, 0, 0),
             )
             cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype), (0, cache_index, 0, 0)
+                cache_v, v.astype(cache_v.dtype)[None],
+                (self.layer_idx, 0, cache_index, 0, 0),
             )
             if s > 1:
                 # prefill: causal attention over the prompt itself equals
@@ -93,8 +98,9 @@ class LlamaAttention(nn.Module):
                 pm = kv_mask[:, :s] if kv_mask is not None else None
                 out = causal_attention_with_kv_mask(q, k, v, pm)
             else:
-                # single-token decode: gather over the cache
-                k_full, v_full = cache_k, cache_v
+                # single-token decode: gather this layer's cache slice
+                k_full = cache_k[self.layer_idx]
+                v_full = cache_v[self.layer_idx]
                 t = k_full.shape[1]
                 q_pos = cache_index + jnp.arange(s)
                 causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
@@ -131,10 +137,11 @@ class LlamaMLP(nn.Module):
 
 class LlamaDecoderLayer(nn.Module):
     cfg: LlamaConfig
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, positions, kv_mask, cache_k, cache_v, cache_index):
-        h, ck, cv = LlamaAttention(self.cfg, name="self_attn")(
+        h, ck, cv = LlamaAttention(self.cfg, self.layer_idx, name="self_attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
             positions, kv_mask, cache_k, cache_v, cache_index,
         )
@@ -165,27 +172,23 @@ class LlamaModel(nn.Module):
         cache_index: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Optional[KVCache]]:
         x = inputs_embeds
-        new_k, new_v = [], []
         layer_cls = LlamaDecoderLayer
         if self.remat and cache is None:
             layer_cls = nn.remat(
                 LlamaDecoderLayer, static_argnums=(), prevent_cse=False
             )
+        # the FULL stacked cache threads through every layer; each layer
+        # writes only its own (1, B, s, H, D) slice — no whole-cache
+        # copies per decode step (stacking fresh per-layer arrays cost
+        # ~1.4 GB/step at flagship size)
+        ck = cache["k"] if cache is not None else None
+        cv = cache["v"] if cache is not None else None
         for i in range(self.cfg.num_hidden_layers):
-            ck = cache["k"][i] if cache is not None else None
-            cv = cache["v"][i] if cache is not None else None
-            x, ck, cv = layer_cls(self.cfg, name=f"layers_{i}")(
+            x, ck, cv = layer_cls(self.cfg, i, name=f"layers_{i}")(
                 x, positions, kv_mask, ck, cv, cache_index
             )
-            if cache is not None:
-                new_k.append(ck)
-                new_v.append(cv)
         x = RMSNorm(self.cfg.rms_norm_eps, name="norm")(x)
-        new_cache = (
-            {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
-            if cache is not None
-            else None
-        )
+        new_cache = {"k": ck, "v": cv} if cache is not None else None
         return x, new_cache
 
 
