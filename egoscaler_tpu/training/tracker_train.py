@@ -68,6 +68,31 @@ def make_tracker_train_step(
     return step
 
 
+def lk_pseudo_labels(clip, depths, queries, visibility_margin: float = 4.0):
+    """Distillation targets from the pyramidal-LK tracker
+    (ops/lucas_kanade.py): tracks + a visibility proxy (in-frame with
+    margin).  Lets the learned tracker bootstrap without reference
+    weights; swap in reference-tracker outputs for true distillation."""
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.ops.lucas_kanade import lk_track_clip
+
+    tracks = lk_track_clip(clip, depths, queries[:, :2])
+    t, h, w, _ = clip.shape
+    m = visibility_margin
+    vis = (
+        (tracks[..., 0] >= m) & (tracks[..., 0] < w - m)
+        & (tracks[..., 1] >= m) & (tracks[..., 1] < h - m)
+    )
+    return tracks, vis
+
+
+def distill_step_fn(model: SpaTracker, tx: optax.GradientTransformation):
+    """Train step where targets come packed in the batch (from LK or a
+    reference tracker)."""
+    return make_tracker_train_step(model, tx)
+
+
 def synthetic_tracking_batch(rng, t=4, h=48, w=48, q=6):
     """Textured drifting scene with known tracks, for tests/smoke
     training."""
