@@ -22,7 +22,10 @@ from egoscaler_tpu.registration.ransac import (
     match_features,
     ransac_registration,
 )
-from egoscaler_tpu.registration.voxel import voxel_downsample
+from egoscaler_tpu.registration.voxel import (
+    voxel_downsample,
+    voxel_downsample_hash,
+)
 
 
 class RegistrationResult(NamedTuple):
@@ -37,10 +40,20 @@ def prepare_cloud(
     mask: jax.Array,
     cfg: PCMConfig = PCMConfig(),
     max_keypoints: int = 4096,
+    voxel_method: str = "sort",
 ):
     """prepare_dataset equivalent (pcm_tools.py:25-28): keypoints via
-    voxel downsample, normals (radius 2*voxel), FPFH (radius 5*voxel)."""
-    pts, cols, m = voxel_downsample(
+    voxel downsample, normals (radius 2*voxel), FPFH (radius 5*voxel).
+
+    voxel_method "sort" (default) is the exact run-length
+    implementation; "hash" is a sort-free scatter variant (measured
+    SLOWER on v5e-lite: XLA lowers the 2^20-segment scatter worse than
+    the sort — 1.52 vs 2.04 clips/s — kept for architectures where
+    scatter wins)."""
+    downsample = (
+        voxel_downsample_hash if voxel_method == "hash" else voxel_downsample
+    )
+    pts, cols, m = downsample(
         points, colors, mask, cfg.voxel_size, max_keypoints
     )
     normals = estimate_normals(

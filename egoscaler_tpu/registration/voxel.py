@@ -12,6 +12,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # 10 bits per axis -> voxel coords in [0, 1024); at voxel 0.1 m that spans
 # 102 m, far beyond the 5 m depth cutoff of the pipeline (configs/data.py)
@@ -69,6 +70,59 @@ def voxel_downsample(
             cols_s * ones[:, None], seg_id, num_segments=max_out + 1
         )[:max_out]
         out_cols = csums / jnp.maximum(counts, 1.0)[:, None]
+    else:
+        out_cols = jnp.zeros_like(out_pts)
+    return out_pts, out_cols, out_mask
+
+
+def voxel_downsample_hash(
+    points: jax.Array,
+    colors: Optional[jax.Array],
+    mask: jax.Array,
+    voxel_size: float,
+    max_out: int,
+    num_buckets: int = 1 << 20,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Sort-free voxel downsampling: scatter-add into hash buckets, then
+    top-k occupied buckets.
+
+    Written against the profile showing the ~2M-element sort dominating
+    the full-res pipeline (~120 ms/frame at 1408^2) — but MEASURED SLOWER
+    than the sort on v5e-lite (XLA lowers the 2^20-segment scatter as a
+    sort anyway, plus the top_k): 1.52 vs 2.04 clips/s at 384^2.  Kept as
+    an option for backends with fast native scatter.
+    Distinct voxels collide with probability ~n_voxels/num_buckets
+    (<1% at typical scene voxel counts); a collision merges two voxel
+    means — tolerance-level for registration, NOT bit-identical to
+    `voxel_downsample`.
+    """
+    origin = jnp.min(jnp.where(mask[:, None], points, jnp.inf), axis=0)
+    coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    coords = jnp.clip(coords, 0, _SPAN - 1)
+    key = (coords[:, 0] << (2 * _BITS)) | (coords[:, 1] << _BITS) | coords[:, 2]
+    # Fibonacci hash; take the HIGH bits (low bits of key*K mod 2^b only
+    # depend on key mod 2^b and would collapse the x-coordinate bits)
+    bucket_bits = int(np.log2(num_buckets))
+    hashed = (key * jnp.int32(-1640531527)) & jnp.int32(0x7FFFFFFF)
+    bucket = (hashed >> (31 - bucket_bits)).astype(jnp.int32)
+    bucket = jnp.where(mask, bucket, num_buckets)  # overflow bin
+
+    w = mask.astype(points.dtype)
+    counts = jax.ops.segment_sum(
+        w, bucket, num_segments=num_buckets + 1
+    )[:num_buckets]
+    psums = jax.ops.segment_sum(
+        points * w[:, None], bucket, num_segments=num_buckets + 1
+    )[:num_buckets]
+    top_counts, top_idx = jax.lax.top_k(counts, max_out)
+    out_mask = top_counts > 0
+    denom = jnp.maximum(top_counts, 1.0)[:, None]
+    out_pts = psums[top_idx] / denom
+    if colors is not None:
+        csums = jax.ops.segment_sum(
+            colors * w[:, None], bucket, num_segments=num_buckets + 1
+        )[:num_buckets]
+        out_cols = csums[top_idx] / denom
     else:
         out_cols = jnp.zeros_like(out_pts)
     return out_pts, out_cols, out_mask
