@@ -43,10 +43,26 @@ def voxel_downsample(
     key = (coords[:, 0] << (2 * _BITS)) | (coords[:, 1] << _BITS) | coords[:, 2]
     key = jnp.where(mask, key, _INVALID_KEY)
 
-    order = jnp.argsort(key)
-    key_s = key[order]
-    pts_s = points[order]
-    cols_s = colors[order] if colors is not None else None
+    # Two sort strategies, picked by size (both measured on v5e-lite):
+    #  * payload-carrying sort — one pass moves point/color columns with
+    #    the keys; wins at <=512k points (+5% pipeline at 384^2);
+    #  * argsort + gathers — payload columns inflate sort traffic at
+    #    multi-million points (payload sort was 27% slower at 1408^2).
+    if n <= (1 << 19):
+        operands = [key] + [points[:, i] for i in range(3)]
+        if colors is not None:
+            operands += [colors[:, i] for i in range(colors.shape[1])]
+        sorted_ops = jax.lax.sort(operands, num_keys=1)
+        key_s = sorted_ops[0]
+        pts_s = jnp.stack(sorted_ops[1:4], axis=1)
+        cols_s = (
+            jnp.stack(sorted_ops[4:], axis=1) if colors is not None else None
+        )
+    else:
+        order = jnp.argsort(key)
+        key_s = key[order]
+        pts_s = points[order]
+        cols_s = colors[order] if colors is not None else None
     valid_s = key_s != _INVALID_KEY
 
     # run boundaries
