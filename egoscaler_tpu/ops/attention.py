@@ -70,7 +70,10 @@ def dot_product_attention(
     t = k.shape[1]
 
     backend = jax.default_backend()
-    if backend == "tpu" and d % 128 == 0 and s >= 128:
+    if backend == "tpu" and d % 64 == 0 and s >= 128:
+        # d=64 blocks are legal (last block dim == full dim); inside large
+        # fused models flash avoids the f32 score materialization that
+        # dominates the XLA path (24 x 960 MB in DepthAnything vitl)
         from egoscaler_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
