@@ -229,3 +229,31 @@ def test_lemmatizer_and_svo():
     verb, obj = nlp_tools.extract_verb_obj("c open the drawer with his hand .")
     assert verb == "open"
     assert obj == "drawer"
+
+
+def test_stage7_hod_arbitration(tmp_path, rng):
+    """7_get:139-152: when hods/<clip>.pkl exists, the object mask is
+    chosen by IoU against the HOD object box, not by detector score."""
+    import pickle
+
+    from egoscaler_tpu.pipelines.stages.stage7_trajectory import (
+        object_mask_from_boxes,
+    )
+
+    h = w = 64
+    # two candidate detections: det A higher score, det B overlaps HOD box
+    dets = [
+        {"label": "cup", "score": 0.9,
+         "box": {"xmin": 2, "ymin": 2, "xmax": 12, "ymax": 12}},
+        {"label": "cup", "score": 0.4,
+         "box": {"xmin": 40, "ymin": 40, "xmax": 60, "ymax": 60}},
+    ]
+    # without HOD: highest score wins (det A)
+    m = object_mask_from_boxes(dets, "cup", h, w, hod_box=None)
+    assert m[5, 5] and not m[50, 50]
+    # with HOD box over det B's region: IoU arbitration picks det B
+    m = object_mask_from_boxes(dets, "cup", h, w, hod_box=[42, 42, 58, 58])
+    assert m[50, 50] and not m[5, 5]
+    # label filtering: unrelated label falls back to all candidates
+    m = object_mask_from_boxes(dets, "wrench", h, w, hod_box=None)
+    assert m is not None
