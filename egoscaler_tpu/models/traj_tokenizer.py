@@ -185,6 +185,7 @@ class TrajTokenizer:
         (utils.py:91-93 behavior).  T_max = cfg.num_steps.
         """
         t_max = self.cfg.num_steps
+        token_ids = jnp.asarray(token_ids)  # scan body indexes with a tracer
         length = token_ids.shape[0]
         is_bin = (token_ids >= self.bin0_id) & (token_ids < self.bin0_id + self.cfg.num_bins)
         bin_val = jnp.where(is_bin, token_ids - self.bin0_id, 0)

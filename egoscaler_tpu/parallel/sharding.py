@@ -92,3 +92,43 @@ def optimizer_specs(params: Any, rules=LLAMA_RULES) -> Any:
         params,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def opt_state_specs(opt_state: Any, params: Any, rules=LLAMA_RULES) -> Any:
+    """PartitionSpec pytree matching an optax state whose moment subtrees
+    (mu/nu, ...) mirror a *flat* param dict (path-string keys, as produced
+    by trainer.partition_params).
+
+    Moment leaves get `optimizer_specs` (param TP spec + ZeRO-1 `data`
+    sharding on the first free dim — train.py:91-104's zero stage 1);
+    counters and other scalar state are replicated.
+    """
+    flat_specs = dict(optimizer_specs(params, rules))
+
+    def leaf_spec(path, leaf):
+        if getattr(leaf, "ndim", 0) == 0:
+            return P()
+        for entry in path:
+            key = getattr(entry, "key", None)
+            if key in flat_specs and flat_specs[key] is not None:
+                return flat_specs[key]
+        return P()
+
+    return jax.tree_util.tree_map_with_path(leaf_spec, opt_state)
+
+
+def opt_state_shardings(mesh: Mesh, opt_state: Any, params: Any,
+                        rules=LLAMA_RULES) -> Any:
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        opt_state_specs(opt_state, params, rules),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def spec_uses_axis(spec: P, axis: str) -> bool:
+    """True if a PartitionSpec shards any dim over `axis`."""
+    for d in spec:
+        if d == axis or (isinstance(d, (tuple, list)) and axis in d):
+            return True
+    return False

@@ -155,3 +155,17 @@ def test_numpy_detokenize_matches_jax(rng):
             np.testing.assert_allclose(
                 np_traj, np.asarray(jax_traj)[:n], atol=1e-5
             )
+
+
+def test_decode_ids_accepts_numpy_input(rng):
+    """decode_ids must work on host numpy arrays (the eval harness feeds
+    raw numpy id buffers); the scan body indexes with a tracer."""
+    tok = TrajTokenizer()
+    traj = sample_traj(rng, t=4)
+    ids = np.asarray(tok.encode_ids(jnp.asarray(traj)))
+    out_np, n_np = tok.decode_ids(ids)            # numpy in
+    out_j, n_j = tok.decode_ids(jnp.asarray(ids)) # jnp in
+    assert int(n_np) == int(n_j)
+    np.testing.assert_allclose(np.asarray(out_np), np.asarray(out_j))
+    # garbage numpy ids must not raise
+    tok.decode_ids(rng.integers(0, 40000, 50))
