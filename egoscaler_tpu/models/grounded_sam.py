@@ -12,8 +12,9 @@ Rebuild of third_party/grounded_sam/grounded_sam.py:83-225 with the same
 * polygon refinement (largest-contour fill, grounded_sam.py:106-156)
   with cv2.
 
-A full JAX-native SAM port is tracked for a later round; this module
-carries the pipeline API and the refinement logic.
+The JAX-native SAM lives in models/sam.py (HF-parity tested); this
+module carries the pipeline API, the segmenter protocol, and the
+refinement logic.
 """
 from __future__ import annotations
 

@@ -2,9 +2,11 @@
 
 Rebuild of egoscaler/data/train/7_get_object_trajectory.py:34-361 on the
 TPU-native stack: depth from models/depth_wrapper (batched clip
-inference), object mask from the detector boxes (+ optional segmenter),
-tracks from pyramidal LK or the learned tracker, then ONE compiled
-`extract_trajectory` call replaces the per-frame Open3D loop.
+inference), pixel-accurate object mask from detector boxes -> segmenter
+(JAX SAM / GrabCut) -> polygon refine -> HOD IoU arbitration
+(7_get:130-152), tracks seeded in the mask (LK or the learned tracker),
+then ONE compiled `extract_trajectory` call replaces the per-frame
+Open3D loop.
 
 Outputs byte-compatible artifacts (7_get:321-354):
   trajs/{ds}/{uid}/{file}.pkl   {init_bbox (8,3), traj_quat (n,7),
@@ -49,14 +51,29 @@ def boxes_to_mask_arrays(bboxes: Dict, times, height: int, width: int,
     return masks
 
 
+def _hod_iou_fn(hod_box, height: int, width: int):
+    hod_mask = np.zeros((height, width), bool)
+    hod_mask[hod_box[1]: hod_box[3], hod_box[0]: hod_box[2]] = True
+
+    def iou(m):
+        inter = (m & hod_mask).sum()
+        union = (m | hod_mask).sum()
+        return inter / union if union else 0.0
+
+    return iou
+
+
+def _label_candidates(bboxes_t0, obj_label: str):
+    cands = [d for d in bboxes_t0 if obj_label.lower() in d["label"].lower()]
+    return cands or list(bboxes_t0)
+
+
 def object_mask_from_boxes(bboxes_t0, obj_label: str, height: int,
                            width: int, hod_box=None) -> Optional[np.ndarray]:
-    """Target object mask selection (7_get:130-152): choose the detection
-    matching the object label — arbitrated by HOD IoU when present,
-    else the most confident."""
-    cands = [d for d in bboxes_t0 if obj_label.lower() in d["label"].lower()]
-    if not cands:
-        cands = bboxes_t0
+    """Rectangle target mask (weight-free fallback for 7_get:130-152):
+    choose the detection matching the object label — arbitrated by HOD
+    IoU when present, else the most confident."""
+    cands = _label_candidates(bboxes_t0, obj_label)
     if not cands:
         return None
 
@@ -67,18 +84,68 @@ def object_mask_from_boxes(bboxes_t0, obj_label: str, height: int,
         return m
 
     if hod_box is not None:
-        hod_mask = np.zeros((height, width), bool)
-        hod_mask[hod_box[1]: hod_box[3], hod_box[0]: hod_box[2]] = True
-
-        def iou(m):
-            inter = (m & hod_mask).sum()
-            union = (m | hod_mask).sum()
-            return inter / union if union else 0.0
-
+        iou = _hod_iou_fn(hod_box, height, width)
         best = max(cands, key=lambda d: iou(to_mask(d)))
     else:
         best = max(cands, key=lambda d: d["score"])
     return to_mask(best)
+
+
+def object_segmentation_mask(
+    image: np.ndarray,
+    bboxes_t0,
+    obj_label: str,
+    hod_box=None,
+    segmenter=None,
+    polygon_refinement: bool = True,
+) -> Optional[np.ndarray]:
+    """Pixel-accurate target mask (7_get:130-152): candidate detection
+    boxes -> segmenter (JAX SAM / GrabCut) -> polygon refine -> HOD IoU
+    arbitration (7_get:139-152), score arbitration otherwise.
+
+    Falls back to the rectangle mask when no segmenter is given or the
+    segmentation comes back empty — rectangle seeding puts background
+    pixels in the track set and degrades Kabsch rotations, so callers
+    should pass a segmenter whenever one is available."""
+    height, width = image.shape[:2]
+    cands = _label_candidates(bboxes_t0, obj_label)
+    if not cands:
+        return None
+    if segmenter is None:
+        return object_mask_from_boxes(cands, obj_label, height, width, hod_box)
+
+    from egoscaler_tpu.models.grounded_sam import refine_masks
+
+    boxes = [
+        [d["box"]["xmin"], d["box"]["ymin"], d["box"]["xmax"], d["box"]["ymax"]]
+        for d in cands
+    ]
+    masks = segmenter.segment(np.asarray(image), boxes)
+    masks = [m.astype(bool) for m in refine_masks(masks, polygon_refinement)]
+    if hod_box is not None:
+        iou = _hod_iou_fn(hod_box, height, width)
+        best = max(range(len(cands)), key=lambda i: iou(masks[i]))
+    else:
+        best = max(range(len(cands)), key=lambda i: cands[i]["score"])
+    mask = masks[best]
+    if not mask.any():
+        return object_mask_from_boxes(cands, obj_label, height, width, hod_box)
+    return mask
+
+
+def build_segmenter(kind: str = "auto", sam_checkpoint: Optional[str] = None):
+    """Stage-7 segmenter factory: 'sam' (JAX SAM, models/sam.py),
+    'grabcut' (weight-free), 'none' (rectangle masks), or 'auto'
+    (sam when a checkpoint is given, else grabcut)."""
+    if kind == "none":
+        return None
+    if kind == "sam" or (kind == "auto" and sam_checkpoint):
+        from egoscaler_tpu.models.grounded_sam import JaxSamSegmenter
+
+        return JaxSamSegmenter(checkpoint_path=sam_checkpoint)
+    from egoscaler_tpu.models.grounded_sam import GrabCutSegmenter
+
+    return GrabCutSegmenter()
 
 
 def process_clip(
@@ -91,6 +158,7 @@ def process_clip(
     num_hypotheses: int = 4096,
     key=None,
     tracker=None,
+    segmenter=None,
 ) -> Optional[Dict]:
     """One candidate -> trajectory dict, or None when any guard trips."""
     from PIL import Image
@@ -138,9 +206,9 @@ def process_clip(
         res = hod.get(start_sec, {})
         if res.get("obj-bbox"):
             hod_box = [int(v) for v in res["obj-bbox"][0]]
-    obj_mask = object_mask_from_boxes(
-        bboxes.get(str(times[0]), []), data["manipulated_object"], h, w,
-        hod_box,
+    obj_mask = object_segmentation_mask(
+        frames[0], bboxes.get(str(times[0]), []),
+        data["manipulated_object"], hod_box, segmenter,
     )
     if obj_mask is None:
         return None
@@ -232,6 +300,11 @@ def run(args, depth_model=None) -> int:
             cfg=cfg, checkpoint_path=args.depth_checkpoint
         )
 
+    segmenter = build_segmenter(
+        getattr(args, "segmenter", "auto"),
+        getattr(args, "sam_checkpoint", None),
+    )
+
     infos_path = os.path.join(args.data_dir, "infos.json")
     if os.path.exists(infos_path):
         all_data = read_json(infos_path)
@@ -245,7 +318,8 @@ def run(args, depth_model=None) -> int:
         if "start_sec" not in data:
             continue
         t0 = time.time()
-        out = process_clip(data, args.data_dir, depth_model)
+        out = process_clip(data, args.data_dir, depth_model,
+                           segmenter=segmenter)
         if out is not None:
             n += 1
             print(
@@ -260,6 +334,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", required=True)
     p.add_argument("--depth_checkpoint", default=None)
+    p.add_argument("--sam_checkpoint", default=None)
+    p.add_argument(
+        "--segmenter", default="auto",
+        choices=("auto", "sam", "grabcut", "none"),
+        help="object-mask source: JAX SAM, GrabCut, or rectangle boxes",
+    )
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=-1)
     args = p.parse_args()

@@ -257,3 +257,91 @@ def test_stage7_hod_arbitration(tmp_path, rng):
     # label filtering: unrelated label falls back to all candidates
     m = object_mask_from_boxes(dets, "wrench", h, w, hod_box=None)
     assert m is not None
+
+
+def test_stage7_segmentation_mask_beats_rectangle(rng):
+    """7_get:130-173: the reference seeds tracks in a GroundedSAM
+    *segmentation* mask, not the detection rectangle.  A static
+    distractor inside the detection box corrupts rectangle-seeded
+    queries (background points dilute the object motion estimate) but
+    not segmentation-seeded ones."""
+    import jax
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.models.grounded_sam import GrabCutSegmenter
+    from egoscaler_tpu.ops.lucas_kanade import mask_query_points
+    from egoscaler_tpu.pipelines.stages.stage7_trajectory import (
+        object_mask_from_boxes,
+        object_segmentation_mask,
+    )
+
+    h = w = 96
+    # dark textured background + bright uniform object blob; the detector
+    # box is loose and includes a big static background margin
+    img = (20 + 30 * rng.random((h, w, 3))).astype(np.uint8)
+    oy0, oy1, ox0, ox1 = 40, 60, 40, 60
+    img[oy0:oy1, ox0:ox1] = (230, 60, 50)
+    obj_px = np.zeros((h, w), bool)
+    obj_px[oy0:oy1, ox0:ox1] = True
+    dets = [{
+        "label": "cup", "score": 0.9,
+        "box": {"xmin": 24, "ymin": 24, "xmax": 76, "ymax": 76},
+    }]
+
+    rect = object_mask_from_boxes(dets, "cup", h, w)
+    seg = object_segmentation_mask(
+        img, dets, "cup", segmenter=GrabCutSegmenter()
+    )
+    # rectangle covers the distractor margin; segmentation doesn't
+    assert rect[30, 30] and not obj_px[30, 30]
+    assert seg[50, 50]
+    seg_purity = (seg & obj_px).sum() / max(seg.sum(), 1)
+    rect_purity = (rect & obj_px).sum() / max(rect.sum(), 1)
+    assert seg_purity > 0.9, seg_purity
+    assert rect_purity < 0.2, rect_purity
+
+    # seeded query sets: object moves (+2, 0) px/frame, background static.
+    # displacement error of the seed set vs the object's true motion:
+    key = jax.random.PRNGKey(0)
+    for mask, want_clean in ((rect, False), (seg, True)):
+        pts, valid = mask_query_points(jnp.asarray(mask), 128, key)
+        pts = np.asarray(pts)[np.asarray(valid)]
+        on_obj = obj_px[
+            pts[:, 1].astype(int).clip(0, h - 1),
+            pts[:, 0].astype(int).clip(0, w - 1),
+        ]
+        # per-seed displacement: (2, 0) on object, (0, 0) on background
+        err = np.where(on_obj, 0.0, 2.0).mean()
+        if want_clean:
+            assert err < 0.2, err
+        else:
+            assert err > 1.0, err
+
+
+def test_stage7_segmentation_hod_arbitration(rng):
+    """object_segmentation_mask keeps the HOD-IoU arbitration of
+    7_get:139-152 when choosing among segmented candidates."""
+    from egoscaler_tpu.models.grounded_sam import GrabCutSegmenter
+    from egoscaler_tpu.pipelines.stages.stage7_trajectory import (
+        object_segmentation_mask,
+    )
+
+    h = w = 96
+    img = (20 + 30 * rng.random((h, w, 3))).astype(np.uint8)
+    img[10:26, 10:26] = (230, 60, 50)    # det A blob
+    img[60:80, 60:80] = (60, 220, 80)    # det B blob
+    dets = [
+        {"label": "cup", "score": 0.9,
+         "box": {"xmin": 6, "ymin": 6, "xmax": 30, "ymax": 30}},
+        {"label": "cup", "score": 0.4,
+         "box": {"xmin": 56, "ymin": 56, "xmax": 84, "ymax": 84}},
+    ]
+    seg = object_segmentation_mask(
+        img, dets, "cup", segmenter=GrabCutSegmenter()
+    )
+    assert seg[18, 18] and not seg[70, 70]  # score arbitration -> det A
+    seg = object_segmentation_mask(
+        img, dets, "cup", hod_box=[58, 58, 82, 82],
+        segmenter=GrabCutSegmenter(),
+    )
+    assert seg[70, 70] and not seg[18, 18]  # HOD IoU -> det B
