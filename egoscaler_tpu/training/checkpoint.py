@@ -8,6 +8,7 @@ step for exact resume.  Orbax gives async, atomic, sharding-aware saves
 """
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional, Tuple
 
@@ -33,32 +34,53 @@ class CheckpointManager:
             os.path.join(directory, "best_ade"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1),
         )
+        # Persisted so a resumed run cannot clobber the best checkpoint
+        # with a worse ADE (train.py:287-308 keeps the best metric live
+        # across --resume because it reloads the checkpoint's epoch state).
+        self._best_metric_path = os.path.join(directory, "best_ade.json")
         self.best_ade = float("inf")
+        if os.path.exists(self._best_metric_path):
+            with open(self._best_metric_path) as f:
+                self.best_ade = float(json.load(f)["best_ade"])
 
     def save_latest(self, step: int, state: TrainState, extra: Optional[dict] = None):
-        payload = {"state": state, "extra": extra or {}}
-        self._mngr.save(step, args=ocp.args.StandardSave(payload))
+        # Metadata lives in a sidecar json, not the orbax payload: orbax
+        # StandardRestore requires an exact template match, and extras
+        # vary per save.
+        self._mngr.save(step, args=ocp.args.StandardSave({"state": state}))
+        if extra:
+            self._write_json(
+                os.path.join(self.dir, "latest_extra.json"),
+                {"step": int(step), **extra},
+            )
 
     def save_best(self, step: int, state: TrainState, ade: float):
         if ade < self.best_ade:
             self.best_ade = ade
             self._best.save(
                 step,
-                args=ocp.args.StandardSave(
-                    {"state": state, "extra": {"best_ade": ade}}
-                ),
+                args=ocp.args.StandardSave({"state": state}),
                 force=True,
+            )
+            self._write_json(
+                self._best_metric_path, {"best_ade": float(ade), "step": int(step)}
             )
             return True
         return False
+
+    @staticmethod
+    def _write_json(path: str, payload: dict):
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
 
     def restore_latest(self, template: TrainState) -> Tuple[Optional[TrainState], int]:
         step = self._mngr.latest_step()
         if step is None:
             return None, 0
         payload = self._mngr.restore(
-            step,
-            args=ocp.args.StandardRestore({"state": template, "extra": {}}),
+            step, args=ocp.args.StandardRestore({"state": template})
         )
         return payload["state"], step
 
@@ -67,8 +89,7 @@ class CheckpointManager:
         if step is None:
             return None
         payload = self._best.restore(
-            step,
-            args=ocp.args.StandardRestore({"state": template, "extra": {}}),
+            step, args=ocp.args.StandardRestore({"state": template})
         )
         return payload["state"]
 
