@@ -59,12 +59,23 @@ class Pose3d:
         return pts @ self.rotation.T + self.translation
 
 
-def _read_pose_csv(path: str, prefix: str) -> Dict[int, Dict[str, Pose3d]]:
+def _read_pose_csv(path: str, prefix: str = "wo") -> Dict[int, Dict[str, Pose3d]]:
+    """Both dynamic_objects.csv and headset_trajectory.csv use the shared
+    POSE_DATA_CSV_COLUMNS schema (constants.py:15-25: object_uid +
+    t_wo_*/q_wo_*) — the headset rides as just another tracked object.
+    The prefix is auto-detected from the header for schema variants."""
     out: Dict[int, Dict[str, Pose3d]] = {}
     with open(path) as f:
         reader = csv.reader(f)
         header = next(reader)
         ix = {name: i for i, name in enumerate(header)}
+        if f"q_{prefix}_w" not in ix:
+            prefixes = {
+                n.split("_")[1] for n in ix if n.startswith("q_") and n.endswith("_w")
+            }
+            if not prefixes:
+                raise ValueError(f"{path}: no quaternion columns in {header}")
+            prefix = sorted(prefixes)[0]
         for row in reader:
             ts = int(row[ix["timestamp[ns]"]])
             uid = str(row[ix["object_uid"]]) if "object_uid" in ix else "device"
@@ -198,6 +209,30 @@ class Hot3dDataPathProvider:
     def metadata_file(self) -> str:
         return os.path.join(self.sequence_folder, "metadata.json")
 
+    @property
+    def box2d_objects_file(self) -> str:
+        return os.path.join(self.sequence_folder, "box2d_objects.csv")
+
+    @property
+    def box2d_hands_file(self) -> str:
+        return os.path.join(self.sequence_folder, "box2d_hands.csv")
+
+    @property
+    def masks_folder(self) -> str:
+        return os.path.join(self.sequence_folder, "masks")
+
+    @property
+    def mano_hand_pose_trajectory_file(self) -> str:
+        return os.path.join(
+            self.sequence_folder, "mano_hand_pose_trajectory.jsonl"
+        )
+
+    @property
+    def umetrack_hand_pose_trajectory_file(self) -> str:
+        return os.path.join(
+            self.sequence_folder, "umetrack_hand_pose_trajectory.jsonl"
+        )
+
 
 class Hot3dDataProvider:
     """Facade bundling per-sequence providers (dataset_api.py:54-240)."""
@@ -219,5 +254,51 @@ class Hot3dDataProvider:
             with open(self.paths.metadata_file) as f:
                 self.metadata = json.load(f)
 
+        # Optional annotation streams (dataset_api.py:101-135); loaders
+        # return None when the file is absent.
+        from egoscaler_tpu.data.eval import streams
+
+        self.object_box2d_data_provider = streams.load_object_box2d_csv(
+            self.paths.box2d_objects_file
+        )
+        self.hand_box2d_data_provider = streams.load_hand_box2d_csv(
+            self.paths.box2d_hands_file
+        )
+        self.mano_hand_data_provider = streams.load_hand_poses(
+            self.paths.mano_hand_pose_trajectory_file
+        )
+        self.umetrack_hand_data_provider = streams.load_hand_poses(
+            self.paths.umetrack_hand_pose_trajectory_file
+        )
+        self.mask_data: Dict[str, "streams.MaskData"] = {}
+        if os.path.isdir(self.paths.masks_folder):
+            for name in sorted(os.listdir(self.paths.masks_folder)):
+                if name.endswith(".csv"):
+                    mask = streams.load_mask_csv(
+                        os.path.join(self.paths.masks_folder, name)
+                    )
+                    if mask is not None:
+                        self.mask_data[name[: -len(".csv")]] = mask
+
     def get_device_type(self) -> str:
         return self.metadata.get("headset", "Aria")
+
+    def get_data_statistics(self) -> Dict[str, dict]:
+        """Aggregate per-provider statistics (dataset_api.py:150-180)."""
+        stats: Dict[str, dict] = {}
+        if self.object_pose_data_provider is not None:
+            stats["objects"] = {
+                "num_frames": len(self.object_pose_data_provider.timestamps),
+                "num_objects": len(self.object_pose_data_provider.object_uids),
+            }
+        if self.object_box2d_data_provider is not None:
+            stats["object_box2ds"] = (
+                self.object_box2d_data_provider.get_data_statistics()
+            )
+        if self.hand_box2d_data_provider is not None:
+            stats["hand_box2ds"] = (
+                self.hand_box2d_data_provider.get_data_statistics()
+            )
+        if self.mask_data:
+            stats["masks"] = {k: v.stats() for k, v in self.mask_data.items()}
+        return stats
