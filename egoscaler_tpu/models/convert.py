@@ -417,3 +417,214 @@ def export_pointllm(variables: dict) -> Dict[str, np.ndarray]:
         elif m := re.match(r"params/point_proj/proj_(\d+)/bias", k):
             sd[f"model.point_proj.{m.group(1)}.bias"] = v
     return sd
+
+
+def convert_swin_backbone(
+    sd: Dict[str, np.ndarray], prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """HF SwinBackbone state_dict -> flax models/swin.SwinBackbone params
+    (modeling_swin.py module tree).  Conv weights OIHW -> HWIO; Linear
+    transposed; LayerNorm weight -> scale."""
+    out: Dict[str, np.ndarray] = {}
+    p = prefix
+
+    w = sd[f"{p}embeddings.patch_embeddings.projection.weight"]
+    out["params/patch_embeddings_projection/kernel"] = w.transpose(2, 3, 1, 0)
+    out["params/patch_embeddings_projection/bias"] = sd[
+        f"{p}embeddings.patch_embeddings.projection.bias"
+    ]
+    _layernorm(sd, f"{p}embeddings.norm", out, "embeddings_norm")
+
+    for key in sd:
+        if not key.startswith(f"{p}encoder.layers."):
+            continue
+        rest = key[len(f"{p}encoder.layers."):]
+        i, rest = rest.split(".", 1)
+        if rest.startswith("blocks."):
+            j, rest = rest[len("blocks."):].split(".", 1)
+            base = f"layers_{i}_blocks_{j}"
+            if rest == "attention.self.relative_position_bias_table":
+                out[f"params/{base}/attention_self/relative_position_bias_table"] = sd[key]
+            elif rest == "attention.self.relative_position_index":
+                pass  # static buffer, recomputed
+            elif rest.startswith("attention.self."):
+                name, leaf = rest[len("attention.self."):].split(".")
+                v = sd[key]
+                out[f"params/{base}/attention_self/{name}/" +
+                    ("kernel" if leaf == "weight" else "bias")] = (
+                    v.T if leaf == "weight" else v
+                )
+            elif rest.startswith("attention.output.dense."):
+                leaf = rest.rsplit(".", 1)[1]
+                v = sd[key]
+                out[f"params/{base}/attention_output_dense/" +
+                    ("kernel" if leaf == "weight" else "bias")] = (
+                    v.T if leaf == "weight" else v
+                )
+            elif rest.startswith("layernorm_before.") or rest.startswith("layernorm_after."):
+                ln, leaf = rest.split(".")
+                out[f"params/{base}/{ln}/" +
+                    ("scale" if leaf == "weight" else "bias")] = sd[key]
+            elif rest.startswith("intermediate.dense.") or rest.startswith("output.dense."):
+                mod = rest.split(".")[0]
+                leaf = rest.rsplit(".", 1)[1]
+                v = sd[key]
+                out[f"params/{base}/{mod}_dense/" +
+                    ("kernel" if leaf == "weight" else "bias")] = (
+                    v.T if leaf == "weight" else v
+                )
+        elif rest.startswith("downsample."):
+            mod, leaf = rest[len("downsample."):].split(".")
+            base = f"layers_{i}_downsample"
+            if mod == "reduction":
+                out[f"params/{base}/reduction/kernel"] = sd[key].T
+            else:
+                out[f"params/{base}/norm/" +
+                    ("scale" if leaf == "weight" else "bias")] = sd[key]
+
+    for key in sd:
+        if key.startswith(f"{p}hidden_states_norms."):
+            stage, leaf = key[len(f"{p}hidden_states_norms."):].split(".")
+            out[f"params/hidden_states_norms_{stage}/" +
+                ("scale" if leaf == "weight" else "bias")] = sd[key]
+    return out
+
+
+def convert_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF GroundingDinoForObjectDetection state_dict -> flax
+    models/grounding_dino.GroundingDinoForDetection params
+    (modeling_grounding_dino.py module tree)."""
+    out: Dict[str, np.ndarray] = {}
+
+    # Swin backbone (shares the plain SwinBackbone converter)
+    swin = convert_swin_backbone(sd, prefix="model.backbone.conv_encoder.model.")
+    for k, v in swin.items():
+        out[k.replace("params/", "params/backbone/")] = v
+
+    def linear(torch_name, flax_path):
+        out[f"params/{flax_path}/kernel"] = sd[f"{torch_name}.weight"].T
+        if f"{torch_name}.bias" in sd:
+            out[f"params/{flax_path}/bias"] = sd[f"{torch_name}.bias"]
+
+    def ln(torch_name, flax_path):
+        out[f"params/{flax_path}/scale"] = sd[f"{torch_name}.weight"]
+        out[f"params/{flax_path}/bias"] = sd[f"{torch_name}.bias"]
+
+    def mha(torch_base, flax_base):
+        for p in ("query", "key", "value", "out_proj"):
+            linear(f"{torch_base}.{p}", f"{flax_base}/{p}")
+
+    def deformable(torch_base, flax_base):
+        for p in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            linear(f"{torch_base}.{p}", f"{flax_base}/{p}")
+
+    def mlp_head(torch_base, flax_base, n):
+        for i in range(n):
+            linear(f"{torch_base}.layers.{i}", f"{flax_base}/layers_{i}")
+
+    # input projections: Sequential(Conv2d, GroupNorm)
+    i = 0
+    while f"model.input_proj_vision.{i}.0.weight" in sd:
+        w = sd[f"model.input_proj_vision.{i}.0.weight"]
+        out[f"params/input_proj_vision_{i}_conv/kernel"] = w.transpose(2, 3, 1, 0)
+        out[f"params/input_proj_vision_{i}_conv/bias"] = sd[
+            f"model.input_proj_vision.{i}.0.bias"
+        ]
+        ln(f"model.input_proj_vision.{i}.1", f"input_proj_vision_{i}_norm")
+        i += 1
+
+    # text backbone (BERT)
+    tb = "model.text_backbone."
+    out["params/text_backbone/word_embeddings/embedding"] = sd[
+        f"{tb}embeddings.word_embeddings.weight"
+    ]
+    out["params/text_backbone/position_embeddings/embedding"] = sd[
+        f"{tb}embeddings.position_embeddings.weight"
+    ]
+    out["params/text_backbone/token_type_embeddings/embedding"] = sd[
+        f"{tb}embeddings.token_type_embeddings.weight"
+    ]
+    ln(f"{tb}embeddings.LayerNorm", "text_backbone/embeddings_LayerNorm")
+    li = 0
+    while f"{tb}encoder.layer.{li}.attention.self.query.weight" in sd:
+        b = f"{tb}encoder.layer.{li}"
+        fb = f"text_backbone/layer_{li}"
+        for p in ("query", "key", "value"):
+            linear(f"{b}.attention.self.{p}", f"{fb}/attention_self/{p}")
+        linear(f"{b}.attention.output.dense", f"{fb}/attention_output_dense")
+        ln(f"{b}.attention.output.LayerNorm", f"{fb}/attention_output_LayerNorm")
+        linear(f"{b}.intermediate.dense", f"{fb}/intermediate_dense")
+        linear(f"{b}.output.dense", f"{fb}/output_dense")
+        ln(f"{b}.output.LayerNorm", f"{fb}/output_LayerNorm")
+        li += 1
+
+    linear("model.text_projection", "text_projection")
+    out["params/query_position_embeddings"] = sd[
+        "model.query_position_embeddings.weight"
+    ]
+    out["params/level_embed"] = sd["model.level_embed"]
+
+    # encoder layers
+    ei = 0
+    while f"model.encoder.layers.{ei}.fusion_layer.vision_param" in sd:
+        b = f"model.encoder.layers.{ei}"
+        fb = f"encoder_layers_{ei}"
+        ln(f"{b}.fusion_layer.layer_norm_vision",
+           f"{fb}/fusion_layer/layer_norm_vision")
+        ln(f"{b}.fusion_layer.layer_norm_text",
+           f"{fb}/fusion_layer/layer_norm_text")
+        out[f"params/{fb}/fusion_layer/vision_param"] = sd[
+            f"{b}.fusion_layer.vision_param"
+        ]
+        out[f"params/{fb}/fusion_layer/text_param"] = sd[
+            f"{b}.fusion_layer.text_param"
+        ]
+        for p in ("vision_proj", "text_proj", "values_vision_proj",
+                  "values_text_proj", "out_vision_proj", "out_text_proj"):
+            linear(f"{b}.fusion_layer.attn.{p}", f"{fb}/fusion_layer/attn/{p}")
+        mha(f"{b}.text_enhancer_layer.self_attn",
+            f"{fb}/text_enhancer_layer/self_attn")
+        linear(f"{b}.text_enhancer_layer.fc1", f"{fb}/text_enhancer_layer/fc1")
+        linear(f"{b}.text_enhancer_layer.fc2", f"{fb}/text_enhancer_layer/fc2")
+        ln(f"{b}.text_enhancer_layer.layer_norm_before",
+           f"{fb}/text_enhancer_layer/layer_norm_before")
+        ln(f"{b}.text_enhancer_layer.layer_norm_after",
+           f"{fb}/text_enhancer_layer/layer_norm_after")
+        deformable(f"{b}.deformable_layer.self_attn",
+                   f"{fb}/deformable_layer/self_attn")
+        ln(f"{b}.deformable_layer.self_attn_layer_norm",
+           f"{fb}/deformable_layer/self_attn_layer_norm")
+        linear(f"{b}.deformable_layer.fc1", f"{fb}/deformable_layer/fc1")
+        linear(f"{b}.deformable_layer.fc2", f"{fb}/deformable_layer/fc2")
+        ln(f"{b}.deformable_layer.final_layer_norm",
+           f"{fb}/deformable_layer/final_layer_norm")
+        ei += 1
+
+    # decoder layers
+    di = 0
+    while f"model.decoder.layers.{di}.self_attn.query.weight" in sd:
+        b = f"model.decoder.layers.{di}"
+        fb = f"decoder_layers_{di}"
+        mha(f"{b}.self_attn", f"{fb}/self_attn")
+        ln(f"{b}.self_attn_layer_norm", f"{fb}/self_attn_layer_norm")
+        mha(f"{b}.encoder_attn_text", f"{fb}/encoder_attn_text")
+        ln(f"{b}.encoder_attn_text_layer_norm",
+           f"{fb}/encoder_attn_text_layer_norm")
+        deformable(f"{b}.encoder_attn", f"{fb}/encoder_attn")
+        ln(f"{b}.encoder_attn_layer_norm", f"{fb}/encoder_attn_layer_norm")
+        linear(f"{b}.fc1", f"{fb}/fc1")
+        linear(f"{b}.fc2", f"{fb}/fc2")
+        ln(f"{b}.final_layer_norm", f"{fb}/final_layer_norm")
+        di += 1
+
+    mlp_head("model.decoder.reference_points_head",
+             "reference_points_head", 2)
+    ln("model.decoder.layer_norm", "decoder_layer_norm")
+    linear("model.enc_output", "enc_output")
+    ln("model.enc_output_norm", "enc_output_norm")
+    mlp_head("model.encoder_output_bbox_embed", "encoder_output_bbox_embed", 3)
+    # decoder bbox heads are shared clones (decoder_bbox_embed_share=True);
+    # index 0 carries the weights
+    mlp_head("bbox_embed.0", "bbox_embed", 3)
+    return out

@@ -85,6 +85,105 @@ class HFGroundingDino:
         return results
 
 
+class JaxGroundingDino:
+    """JAX-native Grounding-DINO (models/grounding_dino.py) behind the
+    Detector protocol — the TPU path for the reference's stage-6 detector
+    (6_get_bounding_box.py:126-140).
+
+    Tokenization is injected: pass `tokenize_fn(text) -> (input_ids,
+    token_type_ids)` (e.g. an HF BertTokenizer's encode) so the model
+    stays importable without tokenizer assets.  Images are resized to a
+    fixed square (static shapes -> one compiled XLA program per size).
+    """
+
+    IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+    def __init__(self, cfg, variables, tokenize_fn, image_size: int = 800,
+                 text_len: int = 64):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from egoscaler_tpu.models.grounding_dino import GroundingDinoForDetection
+
+        self.cfg = cfg
+        self.variables = variables
+        self.tokenize = tokenize_fn
+        self.image_size = image_size
+        self.text_len = min(text_len, cfg.max_text_len)
+        model = GroundingDinoForDetection(cfg)
+
+        @functools.partial(jax.jit)
+        def forward(variables, pixels, ids, tt, mask, self_masks, pos):
+            out = model.apply(variables, pixels, ids, tt, mask, self_masks, pos)
+            return out["logits"], out["pred_boxes"]
+
+        self._forward = forward
+        self._jnp = jnp
+
+    def detect(self, images, text_labels, threshold=0.3):
+        import jax
+        import jax.numpy as jnp
+
+        from egoscaler_tpu.models.grounding_dino import (
+            post_process_detection,
+            special_token_masks,
+        )
+
+        text = ". ".join(text_labels) + "."
+        ids, token_types = self.tokenize(text)
+        ids = np.asarray(ids, np.int32)[: self.text_len]
+        token_types = np.asarray(token_types, np.int32)[: self.text_len]
+        pad = self.text_len - len(ids)
+        mask = np.concatenate([np.ones(len(ids), bool), np.zeros(pad, bool)])
+        ids = np.pad(ids, (0, pad))
+        token_types = np.pad(token_types, (0, pad))
+
+        n = len(images)
+        batch_ids = np.tile(ids, (n, 1))
+        self_masks, pos = special_token_masks(batch_ids)
+
+        s = self.image_size
+        pixels = np.zeros((n, s, s, 3), np.float32)
+        sizes = []
+        for i, img in enumerate(images):
+            sizes.append(img.shape[:2])
+            arr = jnp.asarray(img.astype(np.float32) / 255.0)
+            arr = jax.image.resize(arr, (s, s, 3), "bilinear")
+            pixels[i] = (np.asarray(arr) - self.IMAGENET_MEAN) / self.IMAGENET_STD
+
+        logits, boxes = self._forward(
+            self.variables,
+            jnp.asarray(pixels),
+            jnp.asarray(batch_ids),
+            jnp.asarray(np.tile(token_types, (n, 1))),
+            jnp.asarray(np.tile(mask, (n, 1))),
+            jnp.asarray(self_masks),
+            jnp.asarray(pos.astype(np.int32)),
+        )
+        logits, boxes = np.asarray(logits), np.asarray(boxes)
+
+        results = []
+        for i in range(n):
+            post = post_process_detection(
+                logits[i : i + 1], boxes[i : i + 1], sizes[i], threshold
+            )[0]
+            dets = []
+            for score, box in zip(post["scores"], post["boxes"]):
+                x1, y1, x2, y2 = [int(v) for v in box]
+                dets.append(
+                    {
+                        "label": "object",
+                        "score": float(score),
+                        "box": {"xmin": x1, "ymin": y1, "xmax": x2, "ymax": y2},
+                    }
+                )
+            results.append(dets)
+        return results
+
+
 class MotionDetector:
     """Frame-difference moving-region boxes (weight-free fallback)."""
 

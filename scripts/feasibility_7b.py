@@ -1,0 +1,236 @@
+"""7B feasibility: AOT-compile the sharded train step + generate path.
+
+The reference flagship is PointLLM-7B (builder.py:10 RunsenXu/
+PointLLM_7B_v1.2) trained with DeepSpeed ZeRO-1 bf16 at bs 8/GPU
+(train.py:91-104,337-341).  This script compiles our equivalent — remat
++ bf16 params + ZeRO-1 opt-state sharding + tensor parallelism — over a
+virtual n-device mesh WITHOUT materializing 7B of weights (abstract
+lowering via jax.eval_shape), and records per-device memory analysis
+for each requested mesh shape.
+
+Usage:  python scripts/feasibility_7b.py [--mesh 8x1 4x2] [--batch 8]
+Writes: FEASIBILITY_7B.json at the repo root.
+"""
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def gib(n_bytes: float) -> float:
+    return round(n_bytes / 2**30, 3)
+
+
+def analyze_mesh(data: int, model_par: int, batch_size: int) -> dict:
+    from egoscaler_tpu.configs import MeshConfig, PointLLMConfig, TrainConfig
+    from egoscaler_tpu.models.pointllm import TrajPointLLM
+    from egoscaler_tpu.parallel.mesh import make_mesh
+    from egoscaler_tpu.parallel.sharding import opt_state_specs, param_specs
+    from egoscaler_tpu.training.dataset import BatchLayout
+    from egoscaler_tpu.training.trainer import create_train_state, make_train_step
+
+    n = data * model_par
+    devices = jax.devices()[:n]
+    mesh = make_mesh(MeshConfig(data=data, model=model_par), devices)
+
+    cfg = PointLLMConfig()  # default = full 7B LLaMA trunk
+    tcfg = TrainConfig(
+        batch_size=batch_size, grad_accum_steps=1,
+        mesh=MeshConfig(data=data, model=model_par),
+    )
+    model = TrajPointLLM(cfg, remat=True)
+    lay = BatchLayout(cfg)
+
+    ids = np.full((batch_size, lay.total_len), 5, np.int32)
+    ids[:, : cfg.point_bert.point_token_len] = cfg.point_patch_token_id
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((batch_size, lay.total_len), jnp.int32),
+        "point_clouds": jnp.zeros(
+            (batch_size, cfg.point_bert.npoints, 6), jnp.float32
+        ),
+    }
+
+    # Abstract state: shapes/dtypes only — no 7B host allocation.
+    def init_state(rng):
+        state, _ = create_train_state(model, tcfg, rng, batch, total_steps=10)
+        return state
+
+    state_shapes = jax.eval_shape(init_state, jax.random.PRNGKey(0))
+    _, tx = None, None
+    from egoscaler_tpu.training.trainer import make_optimizer
+
+    tx = make_optimizer(tcfg, total_steps=10)
+
+    with mesh:
+        def with_sharding(tree, specs):
+            return jax.tree_util.tree_map(
+                lambda sds, spec: jax.ShapeDtypeStruct(
+                    sds.shape, sds.dtype, sharding=NamedSharding(mesh, spec)
+                ),
+                tree,
+                specs,
+                is_leaf=lambda x: isinstance(x, (jax.ShapeDtypeStruct, P)),
+            )
+
+        tspecs = param_specs(state_shapes.trainable)
+        fspecs = param_specs(state_shapes.frozen)
+        ospecs = opt_state_specs(state_shapes.opt_state, state_shapes.trainable)
+        state_sds = type(state_shapes)(
+            with_sharding(state_shapes.trainable, tspecs),
+            with_sharding(state_shapes.frozen, fspecs),
+            with_sharding(state_shapes.opt_state, ospecs),
+            jax.ShapeDtypeStruct((), jnp.int32, sharding=NamedSharding(mesh, P())),
+        )
+        batch_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype, sharding=NamedSharding(mesh, P("data"))
+            ),
+            batch,
+        )
+
+        step = make_train_step(model, tx, lay.prompt_len, donate=False)
+        lowered = step.lower(state_sds, batch_sds)
+        compiled = lowered.compile()
+        mem = compiled.memory_analysis()
+        cost = compiled.cost_analysis()
+
+    # Analytic per-device accounting from the sharding specs.
+    def sharded_bytes(tree, specs):
+        total = 0
+        for sds, spec in zip(
+            jax.tree_util.tree_leaves(tree),
+            jax.tree_util.tree_leaves(specs, is_leaf=lambda x: isinstance(x, P)),
+        ):
+            shards = 1
+            for axis in spec:
+                if axis == "data":
+                    shards *= data
+                elif axis == "model":
+                    shards *= model_par
+            total += sds.size * sds.dtype.itemsize / shards
+        return total
+
+    params_pd = sharded_bytes(state_shapes.trainable, tspecs) + sharded_bytes(
+        state_shapes.frozen, fspecs
+    )
+    opt_pd = sharded_bytes(state_shapes.opt_state, ospecs)
+
+    out = {
+        "mesh": f"{data}x{model_par}",
+        "batch_size": batch_size,
+        "seq_len": lay.total_len,
+        "params_per_device_gib": gib(params_pd),
+        "opt_state_per_device_gib": gib(opt_pd),
+        "flops_per_step": cost.get("flops") if cost else None,
+    }
+    if mem is not None:
+        out["xla_memory_analysis"] = {
+            "argument_gib": gib(mem.argument_size_in_bytes),
+            "output_gib": gib(mem.output_size_in_bytes),
+            "temp_gib": gib(mem.temp_size_in_bytes),
+            "generated_code_gib": gib(mem.generated_code_size_in_bytes),
+            "peak_estimate_gib": gib(
+                mem.argument_size_in_bytes + mem.temp_size_in_bytes
+            ),
+        }
+    return out
+
+
+def analyze_generate(batch_size: int = 8) -> dict:
+    """Compile the 7B prefill + decode-step programs (evaluate path)."""
+    from egoscaler_tpu.configs import PointLLMConfig
+    from egoscaler_tpu.models.pointllm import (
+        GenerateConfig,
+        TrajPointLLM,
+        generate,
+    )
+    from egoscaler_tpu.training.dataset import BatchLayout
+
+    cfg = PointLLMConfig()
+    model = TrajPointLLM(cfg, remat=False)
+    lay = BatchLayout(cfg)
+    gen = GenerateConfig(max_new_tokens=16)  # scan length doesn't change memory
+
+    params_shapes = jax.eval_shape(
+        lambda r: model.init(
+            r,
+            jnp.zeros((1, lay.prompt_len), jnp.int32),
+            jnp.zeros((1, cfg.point_bert.npoints, 6), jnp.float32),
+        ),
+        jax.random.PRNGKey(0),
+    )
+    params_sds = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, jnp.bfloat16), params_shapes
+    )
+    ids = jax.ShapeDtypeStruct((batch_size, lay.prompt_len), jnp.int32)
+    mask = jax.ShapeDtypeStruct((batch_size, lay.prompt_len), jnp.bool_)
+    pc = jax.ShapeDtypeStruct(
+        (batch_size, cfg.point_bert.npoints, 6), jnp.float32
+    )
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+
+    fn = jax.jit(
+        lambda p, i, m, c, k: generate(model, p, i, m, c, k, gen)
+    )
+    compiled = fn.lower(params_sds, ids, mask, pc, key).compile()
+    mem = compiled.memory_analysis()
+    out = {"batch_size": batch_size, "prompt_len": lay.prompt_len}
+    if mem is not None:
+        out["xla_memory_analysis"] = {
+            "argument_gib": gib(mem.argument_size_in_bytes),
+            "temp_gib": gib(mem.temp_size_in_bytes),
+            "peak_estimate_gib": gib(
+                mem.argument_size_in_bytes + mem.temp_size_in_bytes
+            ),
+        }
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mesh", nargs="+", default=["8x1", "4x2"])
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--skip-generate", action="store_true")
+    args = ap.parse_args()
+
+    results = {"train": [], "generate": None}
+    for spec in args.mesh:
+        data, model_par = (int(x) for x in spec.split("x"))
+        print(f"compiling 7B train step on mesh {spec} ...", flush=True)
+        results["train"].append(analyze_mesh(data, model_par, args.batch))
+        print(json.dumps(results["train"][-1], indent=2), flush=True)
+
+    if not args.skip_generate:
+        print("compiling 7B generate path ...", flush=True)
+        results["generate"] = analyze_generate(args.batch)
+        print(json.dumps(results["generate"], indent=2), flush=True)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "FEASIBILITY_7B.json",
+    )
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
