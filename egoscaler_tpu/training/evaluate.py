@@ -39,6 +39,15 @@ def evaluate(
         max_new_tokens=lay.answer_len, do_sample=do_sample
     )
 
+    # jit end to end: eager generate re-traces its lax.scan on EVERY
+    # call (~seconds of pure-Python tracing per batch at flagship size);
+    # shapes are constant across batches so this compiles exactly once.
+    gen_fn = jax.jit(
+        lambda p, ids_, mask_, pc_, key_: generate(
+            model, p, ids_, mask_, pc_, key_, gen_cfg
+        )
+    )
+
     all_metrics: Dict[str, list] = {}
     dumped = []
     n_batches = 0
@@ -53,9 +62,7 @@ def evaluate(
         pmask = mask[:, : lay.prompt_len]
 
         key, sub = jax.random.split(key)
-        toks, lengths = generate(
-            model, params, prompt, pmask, pc, sub, gen_cfg
-        )
+        toks, lengths = gen_fn(params, prompt, pmask, pc, sub)
 
         # decode: prompt's trailing 8 tokens carry <ts> wp0 <tsep>
         toks_np = np.asarray(toks)

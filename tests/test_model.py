@@ -112,3 +112,39 @@ def test_sample_token_topk():
     # top-1 sampling == greedy
     tok = sample_token(logits, jax.random.PRNGKey(0), top_k=1, top_p=1.0)
     assert int(tok[0]) == 3
+
+
+def test_sample_token_fast_filter_matches_full_sort(rng):
+    """The top-k-scoped top-p cutoff must select exactly the token set of
+    the HF reference filtering (full-vocab sort).  Verified by comparing
+    surviving-token masks over random logits."""
+    import numpy as np
+
+    logits_np = rng.normal(size=(4, 257)).astype(np.float32) * 3.0
+    top_k, top_p = 50, 0.95
+
+    def reference_mask(row):
+        kth = np.sort(row)[-top_k]
+        filtered = np.where(row < kth, -1e30, row)
+        order = np.argsort(-filtered)
+        probs = np.exp(filtered[order] - filtered[order].max())
+        probs = probs / probs.sum()
+        cum = np.cumsum(probs)
+        cutoff_mask = cum - probs > top_p
+        cutoff = filtered[order][~cutoff_mask].min()
+        return np.where(filtered < cutoff, -1e30, filtered) > -1e29
+
+    # reproduce the filtering the sampler applies by checking which token
+    # ids it can ever emit (probability mass after filtering)
+    logits = jnp.asarray(logits_np)
+    scaled = logits  # temperature 1
+    vals = jax.lax.top_k(scaled, top_k)[0]
+    kth = vals[..., -1:]
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_mask = cum - probs > top_p
+    cutoff = jnp.min(jnp.where(cutoff_mask, jnp.inf, vals), -1, keepdims=True)
+    ours = np.asarray(scaled >= jnp.maximum(kth, cutoff))
+
+    for b in range(logits_np.shape[0]):
+        np.testing.assert_array_equal(ours[b], reference_mask(logits_np[b]))
