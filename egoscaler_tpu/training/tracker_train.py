@@ -126,3 +126,65 @@ def synthetic_tracking_batch(rng, t=4, h=48, w=48, q=6):
         "gt_tracks": jnp.asarray(np.stack(gt)),
         "gt_vis": jnp.ones((t, q), bool),
     }
+
+
+def occlusion_tracking_batch(rng, t=8, h=64, w=64, q=8, occlude=True):
+    """Textured moving patch whose tracked points pass behind a solid
+    occluder mid-clip and reappear — the regime where frame-pair LK
+    loses tracks but a window tracker (temporal attention over the whole
+    clip, SpaTracker predictor.py:222 behavior) can hold them.
+
+    Returns a training batch dict; gt_vis is False under the occluder.
+    """
+    import numpy as np
+
+    # textured background + textured target patch
+    def texture(hh, ww, scale=4):
+        base = rng.normal(size=(hh // scale, ww // scale, 3))
+        img = np.asarray(
+            jax.image.resize(jnp.asarray(base), (hh, ww, 3), method="bicubic")
+        )
+        return (img - img.min()) / (img.max() - img.min() + 1e-9)
+
+    bg = texture(h, w)
+    ph, pw = h // 4, w // 4
+    patch = texture(ph, pw, scale=2)
+
+    # patch moves linearly; queries are points on the patch
+    x0, y0 = w // 8, h // 2 - ph // 2
+    vx, vy = rng.uniform(1.5, 3.0), rng.uniform(-0.8, 0.8)
+    qx = rng.uniform(2, pw - 2, q).astype(np.float32)
+    qy = rng.uniform(2, ph - 2, q).astype(np.float32)
+
+    occ_w = w // 3
+    occ_color = rng.uniform(0.0, 1.0, 3).astype(np.float32)
+
+    clip, gt, vis = [], [], []
+    for ti in range(t):
+        frame = bg.copy()
+        px = int(round(x0 + vx * ti))
+        py = int(round(y0 + vy * ti))
+        frame[py : py + ph, px : px + pw] = patch
+        gx = qx + (x0 + vx * ti)
+        gy = qy + (y0 + vy * ti)
+        v = np.ones(q, bool)
+        if occlude and t // 3 <= ti < 2 * t // 3:
+            # occluder covers the patch region in the middle third
+            ox = max(px - 2, 0)
+            frame[:, ox : ox + occ_w] = occ_color
+            v[:] = (gx < ox) | (gx >= ox + occ_w)
+        clip.append(frame)
+        gt.append(
+            np.concatenate(
+                [np.stack([gx, gy], 1), np.full((q, 1), 2.0, np.float32)], 1
+            )
+        )
+        vis.append(v)
+
+    return {
+        "clip": jnp.asarray(np.stack(clip), jnp.float32),
+        "depths": jnp.full((t, h, w), 2.0, jnp.float32),
+        "queries": jnp.asarray(gt[0]),
+        "gt_tracks": jnp.asarray(np.stack(gt)),
+        "gt_vis": jnp.asarray(np.stack(vis)),
+    }
