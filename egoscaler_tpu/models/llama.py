@@ -109,9 +109,13 @@ class LlamaAttention(nn.Module):
                     mask = mask & kv_mask[:, None, None, :t]
                 out = xla_attention(q, k_full, v_full, mask=mask)
         else:
-            # full-sequence training forward: XLA attention — its fused
-            # fwd+bwd beats flash-fwd + recompute-bwd at these sequence
-            # lengths (~704); the flash kernel serves the prefill path
+            # full-sequence training forward: XLA attention.  Measured on
+            # v5e at S=704 under remat: XLA 34.9 samples/s vs Pallas
+            # flash fwd+bwd 21.0 (remat re-runs the flash fwd kernel on
+            # top of the two bwd kernels; XLA fuses the recompute).
+            # Standalone (no remat) flash fwd+bwd is 1.05x XLA at S=704
+            # and 1.43x at S=4096 with O(S) memory — switch to
+            # causal_attention_with_kv_mask for long-context configs.
             t = s
             mask = make_causal_mask(s, s)[None, None]
             if kv_mask is not None:

@@ -14,11 +14,13 @@ TPU-native replacement for the reference's `flash_attn` CUDA kernels
 * with `causal`, KV blocks entirely above the diagonal are skipped
   (fori_loop bound), no wasted MXU work.
 
-Backward: `jax.custom_vjp` — the forward runs the Pallas kernel, the
-backward differentiates the reference XLA attention (recomputed from the
-saved q/k/v, flash-style "recompute instead of store").  A fused Pallas
-bwd kernel is a later optimization; the S^2 backward intermediate at the
-trajectory sequence length (~704) is small.
+Backward: `jax.custom_vjp` with fused Pallas kernels (FlashAttention-2
+schedule): the forward additionally emits the per-row logsumexp; the
+backward recomputes P = exp(S - lse) tile by tile — one kernel streams
+KV blocks producing dQ, a second streams Q blocks producing dK/dV — so
+no S^2 intermediate is ever materialized in either direction.  Set
+`use_pallas_bwd=False` to fall back to differentiating the XLA
+reference (useful on CPU).
 """
 from __future__ import annotations
 
@@ -33,12 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _interpret() -> bool:
+    """Run Pallas in interpreter mode off-TPU (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
 def _flash_kernel(
     q_ref,            # (1, 1, bq, d)
     k_ref,            # (1, 1, T, d)
     v_ref,            # (1, 1, T, d)
     mask_ref,         # (1, 1, T) int32 (1 = valid key)
     o_ref,            # (1, 1, bq, d)
+    lse_ref,          # (1, 1, bq, 128) f32 logsumexp, lane-broadcast
+                      # (Mosaic requires >=(8,128)-tileable blocks)
     *,
     block_kv: int,
     causal: bool,
@@ -94,6 +103,8 @@ def _flash_kernel(
     m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
     out = acc / jnp.maximum(l, 1e-30)[:, None]
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+    lse = m + jnp.log(jnp.maximum(l, 1e-30))
+    lse_ref[0, 0, :, :] = jnp.broadcast_to(lse[:, None], lse_ref.shape[2:])
 
 
 def _flash_forward(
@@ -132,13 +143,236 @@ def _flash_forward(
             pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp, mp)
+
+    return jnp.swapaxes(out[0], 1, 2)[:, :s], out[1]
+
+
+def _flash_bwd_dq_kernel(
+    q_ref,            # (1, 1, bq, d)
+    k_ref,            # (1, 1, T, d)
+    v_ref,            # (1, 1, T, d)
+    do_ref,           # (1, 1, bq, d)
+    lse_ref,          # (1, 1, bq, 128) lane-broadcast
+    delta_ref,        # (1, 1, bq, 128) lane-broadcast
+    mask_ref,         # (1, 1, T)
+    dq_ref,           # (1, 1, bq, d)
+    *,
+    block_kv: int,
+    causal: bool,
+    q_offset: int,
+    scale: float,
+    kv_len_static: int,
+):
+    qi = pl.program_id(2)
+    bq, d = q_ref.shape[2], q_ref.shape[3]
+    num_kv_blocks = kv_len_static // block_kv
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
+    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    lse = lse_ref[0, 0, :, 0]
+    delta = delta_ref[0, 0, :, 0]
+
+    def body(ki, dq):
+        k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
+        v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        kmask = mask_ref[0, 0, pl.ds(ki * block_kv, block_kv)]
+        mask = jnp.broadcast_to(kmask[None, :] > 0, (bq, block_kv))
+        if causal:
+            kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 1
+            )
+            q_pos = q_offset + qi * bq + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_kv), 0
+            )
+            mask = mask & (kv_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+
+    if causal:
+        last_q_pos = q_offset + (qi + 1) * bq - 1
+        needed = jnp.minimum(last_q_pos // block_kv + 1, num_kv_blocks)
+    else:
+        needed = num_kv_blocks
+    dq = jax.lax.fori_loop(0, needed, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0, 0, :, :] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref,            # (1, 1, S, d)
+    k_ref,            # (1, 1, bkv, d)
+    v_ref,            # (1, 1, bkv, d)
+    do_ref,           # (1, 1, S, d)
+    lse_ref,          # (1, 1, S, 128) lane-broadcast
+    delta_ref,        # (1, 1, S, 128) lane-broadcast
+    mask_ref,         # (1, 1, bkv)
+    dk_ref,           # (1, 1, bkv, d)
+    dv_ref,           # (1, 1, bkv, d)
+    *,
+    block_q: int,
+    causal: bool,
+    q_offset: int,
+    scale: float,
+    q_len_static: int,
+):
+    ki = pl.program_id(2)
+    bkv, d = k_ref.shape[2], k_ref.shape[3]
+    num_q_blocks = q_len_static // block_q
+
+    k_blk = k_ref[0, 0, :, :].astype(jnp.float32)
+    v_blk = v_ref[0, 0, :, :].astype(jnp.float32)
+    kmask = mask_ref[0, 0, :] > 0
+
+    def body(qi, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(
+            jnp.float32
+        ) * scale
+        do_blk = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(
+            jnp.float32
+        )
+        lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), 0]
+        delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q), 0]
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+        mask = jnp.broadcast_to(kmask[None, :], (block_q, bkv))
+        if causal:
+            kv_pos = ki * bkv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bkv), 1
+            )
+            q_pos = q_offset + qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, bkv), 0
+            )
+            mask = mask & (kv_pos <= q_pos)
+        s = jnp.where(mask, s, _NEG_INF)
+        p = jnp.exp(s - lse[:, None])
+        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    if causal:
+        # first q block whose last position reaches this kv block
+        start = jnp.maximum(0, (ki * bkv - q_offset) // block_q)
+    else:
+        start = 0
+    dk, dv = jax.lax.fori_loop(
+        start, num_q_blocks, body,
+        (jnp.zeros((bkv, d), jnp.float32), jnp.zeros((bkv, d), jnp.float32)),
+    )
+    # q was pre-scaled; dk = ds^T @ (q*scale) already carries the scale
+    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, mask_i32, out, lse, g, *,
+    causal, q_offset, scale, block_q, block_kv,
+):
+    """Fused Pallas backward: returns (dq, dk, dv)."""
+    b, s, h, d = q.shape
+    t = k.shape[1]
+    s_pad = -(-s // block_q) * block_q
+    t_pad = -(-t // block_kv) * block_kv
+
+    qp = jnp.swapaxes(jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))), 1, 2)
+    kp = jnp.swapaxes(jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))), 1, 2)
+    vp = jnp.swapaxes(jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0))), 1, 2)
+    gp = jnp.swapaxes(jnp.pad(g, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))), 1, 2)
+    op = jnp.swapaxes(
+        jnp.pad(out, ((0, 0), (0, s_pad - s), (0, 0), (0, 0))), 1, 2
+    )
+    mp = jnp.pad(mask_i32, ((0, 0), (0, 0), (0, t_pad - t)))
+
+    # delta = rowsum(dO * O) (FlashAttention-2 eq. 4) — elementwise, XLA
+    delta = jnp.sum(
+        gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1
+    )  # (B, H, S_pad)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 128))
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel,
+            block_kv=block_kv, causal=causal, q_offset=q_offset,
+            scale=scale, kv_len_static=t_pad,
+        ),
+        grid=(b, h, s_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-    )(qp, kp, vp, mp)
+        interpret=_interpret(),
+    )(qp, kp, vp, gp, lse, delta, mp)
 
-    return jnp.swapaxes(out, 1, 2)[:, :s]
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel,
+            block_q=block_q, causal=causal, q_offset=q_offset,
+            scale=scale, q_len_static=s_pad,
+        ),
+        grid=(b, h, t_pad // block_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, s_pad, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, s_pad, 128), lambda bi, hi, ki: (bi, hi, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, s_pad, 128), lambda bi, hi, ki: (bi, hi, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, block_kv), lambda bi, hi, ki: (bi, 0, ki)),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_kv, d), lambda bi, hi, ki: (bi, hi, ki, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, d), lambda bi, hi, ki: (bi, hi, ki, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(qp, kp, vp, gp, lse, delta, mp)
+
+    dq = jnp.swapaxes(dq, 1, 2)[:, :s]
+    dk = jnp.swapaxes(dk, 1, 2)[:, :t]
+    dv = jnp.swapaxes(dv, 1, 2)[:, :t]
+    return dq, dk, dv
 
 
 def _xla_reference(q, k, v, mask_i32, *, causal, q_offset, scale):
@@ -164,7 +398,9 @@ def _xla_reference(q, k, v, mask_i32, *, causal, q_offset, scale):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "q_offset", "scale", "block_q", "block_kv"),
+    static_argnames=(
+        "causal", "q_offset", "scale", "block_q", "block_kv", "use_pallas_bwd"
+    ),
 )
 def flash_attention(
     q: jax.Array,
@@ -178,12 +414,15 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = 256,
     block_kv: int = 256,
+    use_pallas_bwd: bool = True,
 ) -> jax.Array:
     """Flash attention on (B, S, H, D) / (B, T, H, D) inputs.
 
     `kv_mask` (B, T) bool marks valid keys (mid-sequence pads allowed);
     `kv_lengths` (B,) is the suffix-padding special case.  Sequences are
-    padded to block multiples internally.  Differentiable (custom VJP).
+    padded to block multiples internally.  Differentiable: the backward
+    is a fused Pallas pair (dQ / dK+dV) with no S^2 intermediate;
+    `use_pallas_bwd=False` differentiates the XLA reference instead.
     """
     b, s, h, d = q.shape
     t = k.shape[1]
@@ -202,21 +441,25 @@ def flash_attention(
 
     @jax.custom_vjp
     def fa(q, k, v, m):
-        return _flash_forward(q, k, v, m, **static)
+        return _flash_forward(q, k, v, m, **static)[0]
 
     def fa_fwd(q, k, v, m):
-        return fa(q, k, v, m), (q, k, v, m)
+        out, lse = _flash_forward(q, k, v, m, **static)
+        return out, (q, k, v, m, out, lse)
 
     def fa_bwd(res, g):
-        q, k, v, m = res
-        ref_static = dict(
-            causal=causal, q_offset=q_offset, scale=scale
-        )
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: _xla_reference(q_, k_, v_, m, **ref_static),
-            q, k, v,
-        )
-        dq, dk, dv = vjp(g)
+        q, k, v, m, out, lse = res
+        if use_pallas_bwd:
+            dq, dk, dv = _flash_backward(
+                q, k, v, m, out, lse, g, **static
+            )
+        else:
+            ref_static = dict(causal=causal, q_offset=q_offset, scale=scale)
+            _, vjp = jax.vjp(
+                lambda q_, k_, v_: _xla_reference(q_, k_, v_, m, **ref_static),
+                q, k, v,
+            )
+            dq, dk, dv = vjp(g)
         return dq, dk, dv, None
 
     fa.defvjp(fa_fwd, fa_bwd)
