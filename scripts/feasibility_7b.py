@@ -38,7 +38,9 @@ def gib(n_bytes: float) -> float:
     return round(n_bytes / 2**30, 3)
 
 
-def analyze_mesh(data: int, model_par: int, batch_size: int) -> dict:
+def analyze_mesh(
+    data: int, model_par: int, batch_size: int, param_dtype: str = "float32"
+) -> dict:
     from egoscaler_tpu.configs import MeshConfig, PointLLMConfig, TrainConfig
     from egoscaler_tpu.models.pointllm import TrajPointLLM
     from egoscaler_tpu.parallel.mesh import make_mesh
@@ -74,6 +76,19 @@ def analyze_mesh(data: int, model_par: int, batch_size: int) -> dict:
         return state
 
     state_shapes = jax.eval_shape(init_state, jax.random.PRNGKey(0))
+    if param_dtype != "float32":
+        # bf16 training recipe (train.py:91-104): params in bf16, the
+        # (ZeRO-1-sharded) optimizer moments stay f32
+        dt = jnp.dtype(param_dtype)
+        cast = lambda sds: jax.ShapeDtypeStruct(
+            sds.shape, dt if sds.dtype == jnp.float32 else sds.dtype
+        )
+        state_shapes = type(state_shapes)(
+            jax.tree_util.tree_map(cast, state_shapes.trainable),
+            jax.tree_util.tree_map(cast, state_shapes.frozen),
+            state_shapes.opt_state,
+            state_shapes.step,
+        )
     _, tx = None, None
     from egoscaler_tpu.training.trainer import make_optimizer
 
@@ -136,6 +151,7 @@ def analyze_mesh(data: int, model_par: int, batch_size: int) -> dict:
     out = {
         "mesh": f"{data}x{model_par}",
         "batch_size": batch_size,
+        "param_dtype": param_dtype,
         "seq_len": lay.total_len,
         "params_per_device_gib": gib(params_pd),
         "opt_state_per_device_gib": gib(opt_pd),
@@ -208,6 +224,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", nargs="+", default=["8x1", "4x2"])
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--param-dtype", default="float32")
     ap.add_argument("--skip-generate", action="store_true")
     args = ap.parse_args()
 
@@ -215,7 +232,9 @@ def main():
     for spec in args.mesh:
         data, model_par = (int(x) for x in spec.split("x"))
         print(f"compiling 7B train step on mesh {spec} ...", flush=True)
-        results["train"].append(analyze_mesh(data, model_par, args.batch))
+        results["train"].append(
+            analyze_mesh(data, model_par, args.batch, args.param_dtype)
+        )
         print(json.dumps(results["train"][-1], indent=2), flush=True)
 
     if not args.skip_generate:
