@@ -35,11 +35,17 @@ ANCHOR_RATIOS = (0.5, 1.0, 2.0)
 CLASSES = ("__background__", "targetobject", "hand")
 
 
-def make_anchors(feat_h: int, feat_w: int, stride: int = 16) -> jnp.ndarray:
+def make_anchors(
+    feat_h: int,
+    feat_w: int,
+    stride: int = 16,
+    scales: Sequence[float] = ANCHOR_SCALES,
+    ratios: Sequence[float] = ANCHOR_RATIOS,
+) -> jnp.ndarray:
     """(A*H*W, 4) anchors in image coords (HOD config scales/ratios)."""
     base = []
-    for s in ANCHOR_SCALES:
-        for r in ANCHOR_RATIOS:
+    for s in scales:
+        for r in ratios:
             size = s * stride
             w = size * np.sqrt(1.0 / r)
             h = size * np.sqrt(r)
@@ -100,10 +106,14 @@ class HODConfig:
     score_thresh: float = 0.5
     nms_thresh: float = 0.3
     num_contact_states: int = 5  # no/self/other/portable/stationary
+    anchor_scales: Tuple[float, ...] = ANCHOR_SCALES
+    anchor_ratios: Tuple[float, ...] = ANCHOR_RATIOS
 
     def tiny(self) -> "HODConfig":
+        # small anchors: sized for the 128^2 synthetic training scenes
         return dataclasses.replace(
-            self, backbone_dim=32, pre_nms_topk=64, post_nms_topk=16
+            self, backbone_dim=32, pre_nms_topk=64, post_nms_topk=16,
+            anchor_scales=(1.0, 2.0, 4.0),
         )
 
 
@@ -129,10 +139,12 @@ class HandObjectRCNN(nn.Module):
         # RPN
         rpn = nn.Conv(cfg.backbone_dim, (3, 3), padding=1, name="rpn_conv")(feat)
         rpn = nn.relu(rpn)
-        a = len(ANCHOR_SCALES) * len(ANCHOR_RATIOS)
+        a = len(cfg.anchor_scales) * len(cfg.anchor_ratios)
         logits = nn.Conv(a, (1, 1), name="rpn_cls")(rpn).reshape(-1)
         deltas = nn.Conv(a * 4, (1, 1), name="rpn_reg")(rpn).reshape(-1, 4)
-        anchors = make_anchors(fh, fw)
+        anchors = make_anchors(
+            fh, fw, scales=cfg.anchor_scales, ratios=cfg.anchor_ratios
+        )
         proposals = decode_boxes(anchors, deltas)
         proposals = jnp.stack(
             [
@@ -150,7 +162,9 @@ class HandObjectRCNN(nn.Module):
         keep, valid = nms(
             top_boxes, top_scores, cfg.rpn_nms_thresh, cfg.post_nms_topk
         )
-        rois = top_boxes[keep]          # (post_nms_topk, 4)
+        # detach: proposals are training targets, not a gradient path
+        # (Faster-RCNN convention; RPN trains through its own anchor loss)
+        rois = jax.lax.stop_gradient(top_boxes[keep])  # (post_nms_topk, 4)
         roi_valid = valid
 
         # ROI heads (feature coords = image / 16)
@@ -177,6 +191,14 @@ class HandObjectRCNN(nn.Module):
             "contact_probs": jax.nn.softmax(contact, axis=-1),
             "offset": offset,
             "side_probs": jax.nn.softmax(side, axis=-1),
+            # raw pieces for the training losses (training/hod_train.py)
+            "cls_logits": cls_logits,
+            "contact_logits": contact,
+            "side_logits": side,
+            "box_deltas": box_deltas,
+            "rpn_logits": logits,
+            "rpn_deltas": deltas,
+            "anchors": anchors,
         }
 
 

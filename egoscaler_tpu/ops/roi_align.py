@@ -7,6 +7,8 @@ rois — XLA fuses them; no custom kernel needed at Faster-RCNN sizes.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -63,6 +65,111 @@ def roi_align(
         c = vals.shape[0]
         vals = vals.reshape(c, output_size, s, output_size, s)
         return jnp.mean(vals, axis=(2, 4))
+
+    return jax.vmap(one_roi)(rois.astype(jnp.float32))
+
+
+def roi_pool_quantized(
+    features: jax.Array,   # (C, H, W)
+    rois: jax.Array,       # (R, 4) [x1, y1, x2, y2] in IMAGE coords
+    output_size: int = 7,
+    spatial_scale: float = 1.0,
+) -> jax.Array:
+    """Exact quantized ROI max-pool (POOLING_MODE == 'pool').
+
+    Matches the reference CUDA kernel semantics
+    (hand_object_detector/lib/model/roi_pooling/src/roi_pooling_kernel.cu
+    :45-79): roi corners rounded to integers after spatial_scale, bins
+    `[floor(p*bs), ceil((p+1)*bs))`, max over integer cells, empty bins
+    produce 0.  Fixed shapes for jit: each bin gathers a static
+    `ceil(dim/output_size)+2` window (the largest any bin can be) and
+    masks cells past the bin end.
+    """
+    c, h, w = features.shape
+    kh = math.ceil(h / output_size) + 2
+    kw = math.ceil(w / output_size) + 2
+    p = jnp.arange(output_size, dtype=jnp.float32)
+
+    def one_roi(roi):
+        r = jnp.round(roi.astype(jnp.float32) * spatial_scale).astype(jnp.int32)
+        x1, y1, x2, y2 = r[0], r[1], r[2], r[3]
+        rw = jnp.maximum(x2 - x1 + 1, 1).astype(jnp.float32)
+        rh = jnp.maximum(y2 - y1 + 1, 1).astype(jnp.float32)
+        bsh = rh / output_size
+        bsw = rw / output_size
+        hstart = jnp.clip(jnp.floor(p * bsh).astype(jnp.int32) + y1, 0, h)
+        hend = jnp.clip(jnp.ceil((p + 1) * bsh).astype(jnp.int32) + y1, 0, h)
+        wstart = jnp.clip(jnp.floor(p * bsw).astype(jnp.int32) + x1, 0, w)
+        wend = jnp.clip(jnp.ceil((p + 1) * bsw).astype(jnp.int32) + x1, 0, w)
+
+        rows = hstart[:, None] + jnp.arange(kh)[None, :]          # (P, kh)
+        cols = wstart[:, None] + jnp.arange(kw)[None, :]          # (P, kw)
+        rmask = rows < hend[:, None]
+        cmask = cols < wend[:, None]
+        rows_c = jnp.clip(rows, 0, h - 1)
+        cols_c = jnp.clip(cols, 0, w - 1)
+        # (C, P, kh, P, kw) window gather
+        vals = features[:, rows_c[:, :, None, None], cols_c[None, None, :, :]]
+        mask = rmask[:, :, None, None] & cmask[None, None, :, :]
+        vals = jnp.where(mask[None], vals, -jnp.inf)
+        out = jnp.max(vals, axis=(2, 4))                          # (C, P, P)
+        empty = ~jnp.any(mask, axis=(1, 3))                       # (P, P)
+        return jnp.where(empty[None], 0.0, out)
+
+    return jax.vmap(one_roi)(rois)
+
+
+def _bilinear_zero(fm: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
+    """(C, H, W) bilinear sample with zero padding outside (grid_sample
+    padding_mode='zeros')."""
+    c, h, w = fm.shape
+    y0f = jnp.floor(y)
+    x0f = jnp.floor(x)
+    dy = y - y0f
+    dx = x - x0f
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    def at(yy, xx):
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        v = fm[:, jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(inb[None], v, 0.0)
+
+    return (
+        at(y0, x0) * ((1 - dy) * (1 - dx))
+        + at(y0, x0 + 1) * ((1 - dy) * dx)
+        + at(y0 + 1, x0) * (dy * (1 - dx))
+        + at(y0 + 1, x0 + 1) * (dy * dx)
+    )
+
+
+def roi_crop(
+    features: jax.Array,   # (C, H, W)
+    rois: jax.Array,       # (R, 4) [x1, y1, x2, y2] in feature coords
+    grid_size: int = 7,
+) -> jax.Array:
+    """Spatial-transformer ROI crop (POOLING_MODE == 'crop').
+
+    Matches `_affine_grid_gen` + `F.grid_sample`
+    (hand_object_detector/lib/model/utils/net_utils.py:264-286,
+    roi_crop/functions/crop_resize.py): the affine theta maps the roi
+    box onto an align-corners [-1,1]^2 grid, so sample points run
+    uniformly from (x1, y1) to (x2, y2) inclusive; samples outside the
+    map are zero-padded.  Differentiable in both features and rois (the
+    reference's BilinearSampler backward gives grads to the grid; here
+    autodiff provides both for free).
+    """
+    t = jnp.linspace(-1.0, 1.0, grid_size)
+
+    def one_roi(roi):
+        x1, y1, x2, y2 = roi[0], roi[1], roi[2], roi[3]
+        # theta (net_utils.py:276-284) composed with align-corners
+        # denormalization collapses to a straight lerp corner-to-corner
+        xs = x1 + (x2 - x1) * (t + 1.0) / 2.0
+        ys = y1 + (y2 - y1) * (t + 1.0) / 2.0
+        grid_y = jnp.repeat(ys[:, None], grid_size, axis=1)
+        grid_x = jnp.repeat(xs[None, :], grid_size, axis=0)
+        return _bilinear_zero(features, grid_y, grid_x)
 
     return jax.vmap(one_roi)(rois.astype(jnp.float32))
 

@@ -136,6 +136,104 @@ def test_roi_align_matches_reference(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def reference_roi_pool(fm, rois, out_size, spatial_scale):
+    """roi_pooling_kernel.cu:45-79 semantics in plain numpy."""
+    c, h, w = fm.shape
+    out = np.zeros((len(rois), c, out_size, out_size), np.float32)
+    for r, roi in enumerate(rois):
+        x1, y1, x2, y2 = [int(round(float(v) * spatial_scale)) for v in roi]
+        rw = max(x2 - x1 + 1, 1)
+        rh = max(y2 - y1 + 1, 1)
+        bsh = rh / out_size
+        bsw = rw / out_size
+        for ph in range(out_size):
+            for pw in range(out_size):
+                hs = min(max(int(np.floor(ph * bsh)) + y1, 0), h)
+                he = min(max(int(np.ceil((ph + 1) * bsh)) + y1, 0), h)
+                ws = min(max(int(np.floor(pw * bsw)) + x1, 0), w)
+                we = min(max(int(np.ceil((pw + 1) * bsw)) + x1, 0), w)
+                if he <= hs or we <= ws:
+                    out[r, :, ph, pw] = 0.0
+                else:
+                    out[r, :, ph, pw] = fm[:, hs:he, ws:we].max(axis=(1, 2))
+    return out
+
+
+def reference_roi_crop(fm, rois, grid_size):
+    """net_utils.py:264-286 affine crop (zero-padded bilinear) in numpy."""
+    c, h, w = fm.shape
+
+    def bilin(y, x):
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        dy, dx = y - y0, x - x0
+
+        def at(yy, xx):
+            if yy < 0 or yy >= h or xx < 0 or xx >= w:
+                return np.zeros(c, np.float32)
+            return fm[:, yy, xx]
+
+        return (
+            at(y0, x0) * (1 - dy) * (1 - dx)
+            + at(y0, x0 + 1) * (1 - dy) * dx
+            + at(y0 + 1, x0) * dy * (1 - dx)
+            + at(y0 + 1, x0 + 1) * dy * dx
+        )
+
+    t = np.linspace(-1.0, 1.0, grid_size)
+    out = np.zeros((len(rois), c, grid_size, grid_size), np.float32)
+    for r, (x1, y1, x2, y2) in enumerate(rois):
+        for oy in range(grid_size):
+            for ox in range(grid_size):
+                x = x1 + (x2 - x1) * (t[ox] + 1) / 2
+                y = y1 + (y2 - y1) * (t[oy] + 1) / 2
+                out[r, :, oy, ox] = bilin(y, x)
+    return out
+
+
+def test_roi_pool_quantized_matches_reference(rng):
+    from egoscaler_tpu.ops.roi_align import roi_pool_quantized
+
+    fm = rng.normal(size=(3, 16, 16)).astype(np.float32)
+    rois = np.array(
+        [
+            [2.0, 3.0, 10.0, 12.0],
+            [0.0, 0.0, 15.0, 15.0],
+            [5.5, 5.5, 9.5, 8.5],
+            [14.0, 14.0, 14.0, 14.0],   # 1x1 roi -> mostly empty bins
+            [32.0, 48.0, 160.0, 192.0],  # image coords, scale 1/16
+        ],
+        np.float32,
+    )
+    for scale in (1.0, 1.0 / 16.0):
+        ref = reference_roi_pool(fm, rois, 7, scale)
+        ours = np.asarray(
+            roi_pool_quantized(jnp.asarray(fm), jnp.asarray(rois), 7, scale)
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_roi_crop_matches_reference_and_is_differentiable(rng):
+    import jax
+
+    from egoscaler_tpu.ops.roi_align import roi_crop
+
+    fm = rng.normal(size=(2, 16, 16)).astype(np.float32)
+    rois = np.array(
+        [[2.0, 3.0, 10.0, 12.0], [-3.0, -3.0, 18.0, 18.0], [5.5, 5.5, 9.5, 8.5]],
+        np.float32,
+    )
+    ref = reference_roi_crop(fm, rois, 7)
+    ours = np.asarray(roi_crop(jnp.asarray(fm), jnp.asarray(rois), 7))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    # spatial-transformer property: grads flow to the roi coords too
+    g = jax.grad(
+        lambda r: roi_crop(jnp.asarray(fm), r, 7).sum()
+    )(jnp.asarray(rois))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).sum()) > 0.0
+
+
 def test_box_iou(rng):
     a = np.array([[0, 0, 10, 10]], np.float32)
     b = np.array([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
