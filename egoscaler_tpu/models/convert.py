@@ -628,3 +628,50 @@ def convert_grounding_dino(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     # index 0 carries the weights
     mlp_head("bbox_embed.0", "bbox_embed", 3)
     return out
+
+
+def convert_bert_encoder(
+    sd: Dict[str, np.ndarray], prefix: str = ""
+) -> Dict[str, np.ndarray]:
+    """Plain HF `BertModel` state_dict -> flax
+    models/grounding_dino.BertTextEncoder params.
+
+    Used by the sentence-embedding eval metric
+    (training/caption_eval.JaxSentenceEncoder), standing in for the
+    sentence-transformers encoders of the reference evaluator
+    (pointllm/eval/traditional_evaluator.py:33-36).
+    """
+    out: Dict[str, np.ndarray] = {}
+
+    def linear(torch_name, flax_path):
+        out[f"params/{flax_path}/kernel"] = sd[f"{torch_name}.weight"].T
+        out[f"params/{flax_path}/bias"] = sd[f"{torch_name}.bias"]
+
+    def ln(torch_name, flax_path):
+        out[f"params/{flax_path}/scale"] = sd[f"{torch_name}.weight"]
+        out[f"params/{flax_path}/bias"] = sd[f"{torch_name}.bias"]
+
+    p = prefix
+    out["params/word_embeddings/embedding"] = sd[
+        f"{p}embeddings.word_embeddings.weight"
+    ]
+    out["params/position_embeddings/embedding"] = sd[
+        f"{p}embeddings.position_embeddings.weight"
+    ]
+    out["params/token_type_embeddings/embedding"] = sd[
+        f"{p}embeddings.token_type_embeddings.weight"
+    ]
+    ln(f"{p}embeddings.LayerNorm", "embeddings_LayerNorm")
+    li = 0
+    while f"{p}encoder.layer.{li}.attention.self.query.weight" in sd:
+        b = f"{p}encoder.layer.{li}"
+        fb = f"layer_{li}"
+        for q in ("query", "key", "value"):
+            linear(f"{b}.attention.self.{q}", f"{fb}/attention_self/{q}")
+        linear(f"{b}.attention.output.dense", f"{fb}/attention_output_dense")
+        ln(f"{b}.attention.output.LayerNorm", f"{fb}/attention_output_LayerNorm")
+        linear(f"{b}.intermediate.dense", f"{fb}/intermediate_dense")
+        linear(f"{b}.output.dense", f"{fb}/output_dense")
+        ln(f"{b}.output.LayerNorm", f"{fb}/output_LayerNorm")
+        li += 1
+    return out

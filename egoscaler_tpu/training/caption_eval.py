@@ -135,3 +135,122 @@ def classify_modelnet(pred_text: str, categories: Sequence[str]) -> Optional[int
         if c.replace("_", " ") in t:
             return i
     return None
+
+
+# ---------------------------------------------------------------------------
+# Sentence-embedding similarity (traditional_evaluator.py:33-36,79-94:
+# SBERT all-mpnet-base-v2 + SimCSE cosine similarity x 100).
+
+
+def _hash_tokenize(texts: Sequence[str], vocab_size: int, max_len: int):
+    """Deterministic fallback tokenizer: lowercase word hashing into the
+    vocab (skipping the special-token ids).  Lets the embedding metric
+    run on zero-egress hosts; with real checkpoints pass the matching HF
+    tokenizer's `encode` instead."""
+    import numpy as np
+
+    ids = np.zeros((len(texts), max_len), np.int32)
+    mask = np.zeros((len(texts), max_len), bool)
+    for i, t in enumerate(texts):
+        words = re.findall(r"[a-z0-9']+", t.lower())[: max_len - 2]
+        row = [101] + [
+            103 + (hash(w) % (vocab_size - 103)) for w in words
+        ] + [102]
+        ids[i, : len(row)] = row
+        mask[i, : len(row)] = True
+    return ids, mask
+
+
+class JaxSentenceEncoder:
+    """TPU-native sentence embedder: mean-pooled BertTextEncoder (the
+    Grounding-DINO text tower) -> L2-normalized embeddings.
+
+    Load a real BERT-family checkpoint with
+    `models.convert.convert_bert_encoder`; `tokenize` defaults to the
+    hashing fallback and should be the matching HF tokenizer when
+    weights are real.
+    """
+
+    def __init__(self, cfg=None, params=None, tokenize=None, max_len: int = 64,
+                 rng_seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from egoscaler_tpu.models.grounding_dino import (
+            BertConfig,
+            BertTextEncoder,
+        )
+
+        self.cfg = cfg or BertConfig()
+        self.model = BertTextEncoder(self.cfg)
+        self.max_len = max_len
+        self.tokenize = tokenize or (
+            lambda texts: _hash_tokenize(texts, self.cfg.vocab_size, max_len)
+        )
+        if params is None:
+            ids = jnp.zeros((1, max_len), jnp.int32)
+            params = self.model.init(
+                jax.random.PRNGKey(rng_seed), ids,
+                jnp.ones((1, max_len, max_len), bool),
+                jnp.zeros_like(ids), jnp.broadcast_to(jnp.arange(max_len), ids.shape),
+            )
+        self.params = params
+
+        def fwd(p, ids, mask):
+            allow = mask[:, None, :] & mask[:, :, None]
+            pos = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+            hidden = self.model.apply(
+                p, ids, allow, jnp.zeros_like(ids), pos
+            )
+            m = mask[..., None].astype(hidden.dtype)
+            emb = (hidden * m).sum(1) / jnp.maximum(m.sum(1), 1.0)
+            return emb / jnp.maximum(
+                jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-9
+            )
+
+        self._fwd = jax.jit(fwd)
+        self._np = np
+
+    def encode(self, texts: Sequence[str]):
+        import jax.numpy as jnp
+
+        ids, mask = self.tokenize(list(texts))
+        return self._np.asarray(
+            self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
+        )
+
+
+def embedding_similarity(
+    candidates: Sequence[str],
+    references: Sequence[str],
+    encoder=None,
+) -> float:
+    """Mean cosine similarity x 100 between candidate/reference pairs
+    (the sbert_similarity / simcse_similarity protocol)."""
+    encoder = encoder or JaxSentenceEncoder()
+    a = encoder.encode(candidates)
+    b = encoder.encode(references)
+    sims = (a * b).sum(-1)
+    return float(sims.mean() * 100.0)
+
+
+def sbert_similarity(
+    candidates: Sequence[str], references: Sequence[str],
+    model_name: str = "all-mpnet-base-v2",
+) -> Optional[float]:
+    """sentence-transformers backend (traditional_evaluator.py:80-83);
+    returns None when the package or checkpoint is unavailable."""
+    try:
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+    except Exception:
+        return None
+    a = model.encode(list(candidates))
+    b = model.encode(list(references))
+    import numpy as np
+
+    a = a / np.linalg.norm(a, axis=-1, keepdims=True)
+    b = b / np.linalg.norm(b, axis=-1, keepdims=True)
+    return float((a * b).sum(-1).mean() * 100.0)

@@ -124,3 +124,78 @@ def test_eval_stages_cli_flow(tmp_path):
         traj = pickle.load(f)
     assert traj["traj_quat"].shape[1] == 7
     assert traj["init_bbox"].shape == (8, 3)
+
+
+def test_jax_sentence_encoder_properties():
+    """Embedding similarity: identical sentences score 100, disjoint
+    sentences score lower; scores are symmetric."""
+    from egoscaler_tpu.models.grounding_dino import BertConfig
+    from egoscaler_tpu.training.caption_eval import (
+        JaxSentenceEncoder,
+        embedding_similarity,
+    )
+
+    enc = JaxSentenceEncoder(cfg=BertConfig().tiny(), max_len=16)
+    same = embedding_similarity(
+        ["a red mug on the table"], ["a red mug on the table"], enc
+    )
+    assert abs(same - 100.0) < 1e-3, same
+    diff = embedding_similarity(
+        ["a red mug on the table"], ["seventeen purple elephants"], enc
+    )
+    assert diff < same
+    ab = embedding_similarity(["alpha beta"], ["gamma delta"], enc)
+    ba = embedding_similarity(["gamma delta"], ["alpha beta"], enc)
+    assert abs(ab - ba) < 1e-3
+
+
+def test_bert_encoder_hf_parity():
+    """convert_bert_encoder loads a real (random-init, offline) HF
+    BertModel and reproduces its last_hidden_state."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from egoscaler_tpu.models.convert import convert_bert_encoder
+    from egoscaler_tpu.models.grounding_dino import (
+        BertConfig,
+        BertTextEncoder,
+    )
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=1100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BertModel(hf_cfg, add_pooling_layer=False).eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+
+    cfg = BertConfig().tiny()
+    cfg = type(cfg)(**{**cfg.__dict__, "max_position_embeddings": 64})
+    model = BertTextEncoder(cfg)
+    params = traverse_util.unflatten_dict(convert_bert_encoder(sd), sep="/")
+
+    ids = np.array([[101, 200, 300, 400, 102, 0, 0, 0]], np.int64)
+    mask = np.array([[1, 1, 1, 1, 1, 0, 0, 0]], bool)
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+
+    allow = mask[:, None, :] & mask[:, :, None]
+    pos = np.broadcast_to(np.arange(ids.shape[1]), ids.shape)
+    ours = np.asarray(
+        model.apply(
+            params, jnp.asarray(ids, jnp.int32), jnp.asarray(allow),
+            jnp.zeros_like(jnp.asarray(ids, jnp.int32)),
+            jnp.asarray(pos.copy(), jnp.int32),
+        )
+    )
+    np.testing.assert_allclose(
+        ours[mask], ref[mask], atol=2e-4, rtol=1e-3
+    )
