@@ -113,3 +113,64 @@ def test_sam_segmenter_interface(rng):
     )
     assert masks.shape[2] == 3  # multimask
     assert np.isfinite(np.asarray(masks)).all()
+
+
+# ---------------------------------------------------------------------------
+# automatic mask generation
+
+
+def test_amg_point_grid_matches_spec():
+    from egoscaler_tpu.models.sam_amg import build_point_grid
+
+    g = build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert abs(g[0, 0] - 1 / 8) < 1e-6 and abs(g[-1, 1] - 7 / 8) < 1e-6
+    # row-major: x varies fastest
+    assert abs(g[1, 0] - g[0, 0] - 1 / 4) < 1e-6
+    assert abs(g[1, 1] - g[0, 1]) < 1e-6
+
+
+def test_amg_stability_score():
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.models.sam_amg import stability_score
+
+    logits = jnp.asarray(
+        np.stack([np.full((8, 8), 2.0), np.full((8, 8), 0.5)])
+    )
+    s = np.asarray(stability_score(logits, 0.0, 1.0))
+    # 2.0 > +-1 everywhere -> 1.0 ; 0.5 only > -1 -> 0.0
+    np.testing.assert_allclose(s, [1.0, 0.0])
+
+
+def test_amg_generate_shapes_and_invariants():
+    import jax
+
+    from egoscaler_tpu.models.sam import SamConfig, SamModel
+    from egoscaler_tpu.models.sam_amg import AMGConfig, AutomaticMaskGenerator
+
+    cfg = SamConfig().tiny()
+    model = SamModel(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, cfg.vision.image_size,
+                                       cfg.vision.image_size, 3)),
+                      jnp.float32)
+    pts = jnp.zeros((1, 1, 1, 2), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), img, pts, None, None)
+    amg_cfg = AMGConfig(points_per_side=4, pred_iou_thresh=-10.0,
+                        stability_score_thresh=0.0, max_masks=8)
+    amg = AutomaticMaskGenerator(model, params, amg_cfg)
+    out = amg.generate(np.asarray(img[0]))
+    k = amg_cfg.max_masks
+    assert out["masks"].shape[0] == k and out["masks"].dtype == bool
+    assert out["boxes"].shape == (k, 4)
+    # invalid slots fully zeroed
+    inv = ~out["valid"]
+    assert not out["masks"][inv].any()
+    assert (out["boxes"][inv] == 0).all()
+    # every valid mask is inside its box
+    for i in np.nonzero(out["valid"])[0]:
+        ys, xs = np.nonzero(out["masks"][i])
+        x1, y1, x2, y2 = out["boxes"][i]
+        assert xs.min() >= x1 and xs.max() < x2
+        assert ys.min() >= y1 and ys.max() < y2
