@@ -95,6 +95,15 @@ def main():
     write_video(frames, args.out)
     print("wrote", args.out, os.path.getsize(args.out), "bytes")
 
+    from egoscaler_tpu.vis.interactive import export_interactive_html
+
+    html = os.path.splitext(args.out)[0] + ".html"
+    export_interactive_html(
+        pts, cols, traj_pkl, html,
+        narration="generated trajectory (tiny demo model)",
+    )
+    print("wrote", html, os.path.getsize(html), "bytes (open in a browser)")
+
 
 if __name__ == "__main__":
     main()
