@@ -63,6 +63,13 @@ def cross_knn(
     k: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Nearest valid `points` for each `query` row: (Q,k) idx, (Q,k) dist."""
+    if k == 1 and jax.default_backend() == "tpu":
+        # fused Pallas distance+argmin: no (Q, M) HBM matrix — the ICP
+        # hot loop is bandwidth-bound on exactly that traffic
+        from egoscaler_tpu.ops.nearest_pallas import nearest_neighbor
+
+        idx, d2 = nearest_neighbor(query, points, points_mask)
+        return idx[:, None], jnp.sqrt(d2)[:, None]
     d2 = _pairwise_sqdist(query, points)
     d2 = jnp.where(points_mask[None, :], d2, _BIG)
     if k == 1:  # argmin beats top_k on the VPU for the ICP hot loop

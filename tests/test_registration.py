@@ -137,3 +137,50 @@ def test_icp_refines_coarse_init(rng):
     rec = moved @ tf[:3, :3].T + tf[:3, 3]
     err = np.linalg.norm(rec - pts, axis=1)
     assert np.median(err) < 0.02, np.median(err)
+
+
+def test_nearest_pallas_matches_bruteforce(rng):
+    """Fused Pallas NN kernel (interpret mode on CPU) vs numpy."""
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.ops.nearest_pallas import nearest_neighbor
+
+    for qn, mn in [(513, 1025), (128, 128)]:
+        q = rng.normal(size=(qn, 3)).astype(np.float32)
+        p = rng.normal(size=(mn, 3)).astype(np.float32)
+        mask = rng.random(mn) > 0.3
+        idx, d2 = nearest_neighbor(jnp.asarray(q), jnp.asarray(p), jnp.asarray(mask))
+        dd = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+        dd[:, ~mask] = 1e30
+        np.testing.assert_array_equal(np.asarray(idx), dd.argmin(1))
+        np.testing.assert_allclose(np.asarray(d2), dd.min(1), atol=1e-4)
+
+
+def test_icp_converges_early_same_result(rng):
+    """The while_loop criteria must reproduce the fixed-30-iteration
+    transform on a well-initialized pair (Open3D ICPConvergenceCriteria
+    semantics: |dfitness| and |drmse| < 1e-6)."""
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.registration.icp import colored_icp
+
+    pts, cols = make_scene(rng, 2000)
+    moved, _ = rigid(pts, 1.5, [0, 1, 0], [0.03, 0.0, 0.015])
+    mask = jnp.ones(len(pts), bool)
+    sp, sc, sn, sf, sm = prepare_cloud(
+        jnp.asarray(moved), jnp.asarray(cols), mask, max_keypoints=2048
+    )
+    tp, tc, tn, tf_, tm = prepare_cloud(
+        jnp.asarray(pts), jnp.asarray(cols), mask, max_keypoints=2048
+    )
+
+    def run(iters):
+        return np.asarray(
+            colored_icp(
+                sp, sc, sm, tp, tc, tn, tm, init_transform=jnp.eye(4),
+                distance_threshold=0.12, gradient_radius=0.2,
+                max_iterations=iters,
+            ).transformation
+        )
+
+    np.testing.assert_allclose(run(30), run(100), atol=1e-4)
