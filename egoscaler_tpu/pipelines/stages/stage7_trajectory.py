@@ -148,6 +148,49 @@ def build_segmenter(kind: str = "auto", sam_checkpoint: Optional[str] = None):
     return GrabCutSegmenter()
 
 
+def build_tracker(kind: str = "lk", checkpoint: Optional[str] = None):
+    """Stage-7 tracker factory: 'lk' (weight-free pyramidal LK, the
+    default) or 'learned' (models/tracker.SpaTracker with trained
+    weights — the checked-in occlusion-distilled asset, or a .npz path).
+
+    The learned callable matches process_clip's tracker interface:
+    (clip [0,1], depths, queries (Q,3)) -> (T, Q, 3) tracks.
+    """
+    if kind == "lk":
+        return None
+    import dataclasses as _dc
+
+    from flax import traverse_util
+
+    from egoscaler_tpu.models.tracker import (
+        SpaTracker,
+        SpaTrackerPredictor,
+        TrackerConfig,
+    )
+
+    path = checkpoint or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "assets", "tracker_occlusion.npz",
+    )
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"learned tracker weights not found at {path}; run "
+            "scripts/train_tracker.py or pass --tracker_checkpoint"
+        )
+    with np.load(path) as z:
+        params = traverse_util.unflatten_dict(
+            {k: z[k] for k in z.files}, sep="/"
+        )
+    cfg = _dc.replace(TrackerConfig().tiny(), iters=4, window=8)
+    predictor = SpaTrackerPredictor(SpaTracker(cfg), params)
+
+    def tracker(clip, depths, queries):
+        return predictor(clip, depths, queries)
+
+    return tracker
+
+
 def process_clip(
     data: Dict,
     data_dir: str,
@@ -304,6 +347,10 @@ def run(args, depth_model=None) -> int:
         getattr(args, "segmenter", "auto"),
         getattr(args, "sam_checkpoint", None),
     )
+    tracker = build_tracker(
+        getattr(args, "tracker", "lk"),
+        getattr(args, "tracker_checkpoint", None),
+    )
 
     infos_path = os.path.join(args.data_dir, "infos.json")
     if os.path.exists(infos_path):
@@ -319,7 +366,7 @@ def run(args, depth_model=None) -> int:
             continue
         t0 = time.time()
         out = process_clip(data, args.data_dir, depth_model,
-                           segmenter=segmenter)
+                           segmenter=segmenter, tracker=tracker)
         if out is not None:
             n += 1
             print(
@@ -340,6 +387,12 @@ def main():
         choices=("auto", "sam", "grabcut", "none"),
         help="object-mask source: JAX SAM, GrabCut, or rectangle boxes",
     )
+    p.add_argument(
+        "--tracker", default="lk", choices=("lk", "learned"),
+        help="point tracker: pyramidal LK (weight-free) or the trained "
+        "window tracker (assets/tracker_occlusion.npz)",
+    )
+    p.add_argument("--tracker_checkpoint", default=None)
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=-1)
     args = p.parse_args()

@@ -345,3 +345,45 @@ def test_stage7_segmentation_hod_arbitration(rng):
         segmenter=GrabCutSegmenter(),
     )
     assert seg[70, 70] and not seg[18, 18]  # HOD IoU -> det B
+
+
+def test_stage7_build_tracker_learned():
+    """build_tracker('learned') loads the checked-in occlusion-distilled
+    asset and exposes the process_clip tracker interface (clip, depths,
+    queries (Q,3)) -> (T, Q, 3) for arbitrary clip lengths (sliding
+    windows)."""
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.pipelines.stages.stage7_trajectory import build_tracker
+
+    asset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "egoscaler_tpu", "assets", "tracker_occlusion.npz",
+    )
+    if not os.path.exists(asset):
+        pytest.skip("tracker asset not trained yet")
+
+    assert build_tracker("lk") is None
+    tracker = build_tracker("learned")
+    rng = np.random.default_rng(0)
+    t, h, w, q = 12, 64, 64, 8  # t > train window: exercises the slide
+    clip = jnp.asarray(rng.random((t, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray((1 + rng.random((t, h, w))).astype(np.float32))
+    queries = jnp.asarray(
+        np.stack([rng.uniform(10, 50, q), rng.uniform(10, 50, q),
+                  np.ones(q)], 1).astype(np.float32)
+    )
+    tracks = np.asarray(tracker(clip, depths, queries))
+    assert tracks.shape == (t, q, 3)
+    assert np.isfinite(tracks).all()
+    # frame-0 coords are refined too (not pinned); on textureless noise
+    # they stay near the queries but not exactly on them
+    np.testing.assert_allclose(tracks[0, :, :2], np.asarray(queries)[:, :2],
+                               atol=8.0)
+
+
+def test_stage7_build_tracker_missing_checkpoint():
+    from egoscaler_tpu.pipelines.stages.stage7_trajectory import build_tracker
+
+    with pytest.raises(FileNotFoundError):
+        build_tracker("learned", checkpoint="/nonexistent/weights.npz")
