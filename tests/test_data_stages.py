@@ -387,3 +387,74 @@ def test_stage7_build_tracker_missing_checkpoint():
 
     with pytest.raises(FileNotFoundError):
         build_tracker("learned", checkpoint="/nonexistent/weights.npz")
+
+
+def _write_hod_fixture(tmp_path):
+    """A candidate dir with synthetic hand-object frames (the HOD
+    training scene generator) in the images/ layout."""
+    from PIL import Image
+
+    from egoscaler_tpu.data.adapters.egoexo4d import clip_duration
+    from egoscaler_tpu.training.hod_train import synthetic_hand_scene
+
+    rng = np.random.default_rng(5)
+    data = {
+        "dataset_name": "egoexo4d", "video_uid": "vidA",
+        "file_name": "cand0", "timestamp": 10.0,
+        "start_sec": 9.9, "end_sec": 10.1,
+    }
+    duration = [round(float(t), 3) for t in clip_duration(10.0)]
+    window = [t for t in duration if 9.9 <= t <= 10.1]
+    img_dir = tmp_path / "images" / "egoexo4d" / "vidA" / "cand0"
+    os.makedirs(img_dir, exist_ok=True)
+    scene = synthetic_hand_scene(rng, 128)
+    for i, t in enumerate(window):
+        frame = scene["clip"][min(i, 1)]
+        Image.fromarray(frame).save(img_dir / f"{t}.jpg")
+    import json
+
+    with open(tmp_path / "infos.json", "w") as f:
+        json.dump([data], f)
+    return data, window, scene
+
+
+@pytest.mark.parametrize("kind", ["heuristic", "trained"])
+def test_stage_hod_writes_reference_schema(tmp_path, kind):
+    import pickle
+
+    from egoscaler_tpu.pipelines.stages import stage_hod
+
+    asset = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "egoscaler_tpu", "assets", "hod_synthetic.npz",
+    )
+    if kind == "trained" and not os.path.exists(asset):
+        pytest.skip("HOD weights not trained yet")
+
+    data, window, scene = _write_hod_fixture(tmp_path)
+    args = argparse.Namespace(data_dir=str(tmp_path), hod=kind)
+    n = stage_hod.run(args)
+    assert n == 1
+    pkl = tmp_path / "hods" / "egoexo4d" / "vidA" / "cand0.pkl"
+    with open(pkl, "rb") as f:
+        hod = pickle.load(f)
+    assert set(hod.keys()) == set(window)
+    entry = hod[window[0]]
+    assert set(entry.keys()) == {"obj-bbox", "hand-bbox"}
+    for hb in entry["hand-bbox"]:
+        assert len(hb) == 6  # x1 y1 x2 y2 state side (X_prepare:16-21)
+    # idempotency: a second run skips
+    assert stage_hod.run(args) == 0
+
+    if kind == "trained":
+        # the trained detector must localize the synthetic hand
+        hb = entry["hand-bbox"]
+        assert hb, "trained HOD found no hand"
+        x1, y1, x2, y2 = hb[0][:4]
+        gx1, gy1, gx2, gy2 = scene["hand_box"]
+        ix1, iy1 = max(x1, gx1), max(y1, gy1)
+        ix2, iy2 = min(x2, gx2), min(y2, gy2)
+        inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+        union = ((x2 - x1) * (y2 - y1)
+                 + (gx2 - gx1) * (gy2 - gy1) - inter)
+        assert inter / max(union, 1e-9) > 0.4
