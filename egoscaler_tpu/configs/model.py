@@ -52,6 +52,22 @@ class LlamaConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
 
+    @staticmethod
+    def llama3_70b() -> "LlamaConfig":
+        """LLaMA-3-70B-Instruct (the stage-2/3 judge, llm_judge.py:24):
+        GQA with 8 kv heads (config.json of Meta-Llama-3-70B)."""
+        return LlamaConfig(
+            vocab_size=128256,
+            hidden_size=8192,
+            intermediate_size=28672,
+            num_hidden_layers=80,
+            num_attention_heads=64,
+            num_key_value_heads=8,
+            max_position_embeddings=8192,
+            rms_norm_eps=1e-5,
+            rope_theta=500000.0,
+        )
+
     def tiny(self) -> "LlamaConfig":
         """A small config for tests / CPU simulation."""
         return dataclasses.replace(

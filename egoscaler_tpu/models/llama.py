@@ -67,13 +67,22 @@ class LlamaAttention(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
         h, hd = cfg.num_attention_heads, cfg.head_dim
+        kvh = cfg.num_key_value_heads
         q = nn.Dense(h * hd, use_bias=False, name="q_proj")(x).reshape(b, s, h, hd)
-        k = nn.Dense(h * hd, use_bias=False, name="k_proj")(x).reshape(b, s, h, hd)
-        v = nn.Dense(h * hd, use_bias=False, name="v_proj")(x).reshape(b, s, h, hd)
+        # GQA (LLaMA-2/3 70B, modeling_llama.py repeat_kv): k/v carry only
+        # num_key_value_heads; the cache stays at kvh heads (h/kvh smaller)
+        # and heads are repeated right before the attention contraction
+        k = nn.Dense(kvh * hd, use_bias=False, name="k_proj")(x).reshape(b, s, kvh, hd)
+        v = nn.Dense(kvh * hd, use_bias=False, name="v_proj")(x).reshape(b, s, kvh, hd)
 
         cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
+
+        def expand_kv(t):
+            if kvh == h:
+                return t
+            return jnp.repeat(t, h // kvh, axis=2)
 
         if cache_k is not None:
             # write this step's k/v slice into the FULL stacked cache at
@@ -96,11 +105,13 @@ class LlamaAttention(nn.Module):
                 )
 
                 pm = kv_mask[:, :s] if kv_mask is not None else None
-                out = causal_attention_with_kv_mask(q, k, v, pm)
+                out = causal_attention_with_kv_mask(
+                    q, expand_kv(k), expand_kv(v), pm
+                )
             else:
                 # single-token decode: gather this layer's cache slice
-                k_full = cache_k[self.layer_idx]
-                v_full = cache_v[self.layer_idx]
+                k_full = expand_kv(cache_k[self.layer_idx])
+                v_full = expand_kv(cache_v[self.layer_idx])
                 t = k_full.shape[1]
                 q_pos = cache_index + jnp.arange(s)
                 causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
@@ -120,7 +131,7 @@ class LlamaAttention(nn.Module):
             mask = make_causal_mask(s, s)[None, None]
             if kv_mask is not None:
                 mask = mask & kv_mask[:, None, None, :t]
-            out = xla_attention(q, k, v, mask=mask)
+            out = xla_attention(q, expand_kv(k), expand_kv(v), mask=mask)
         out = out.reshape(b, s, h * hd)
         out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
         return out, cache_k, cache_v
@@ -201,6 +212,6 @@ def init_kv_cache(
 ) -> KVCache:
     shape = (
         cfg.num_hidden_layers, batch, max_len,
-        cfg.num_attention_heads, cfg.head_dim,
+        cfg.num_key_value_heads, cfg.head_dim,  # GQA: kvh-head cache
     )
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -220,12 +220,88 @@ def analyze_generate(batch_size: int = 8) -> dict:
     return out
 
 
+def analyze_judge_70b(model_par: int = 8, prompt_len: int = 512) -> dict:
+    """AOT-compile the LLaMA-3-70B judge prefill (stages 2/3,
+    llm_judge.py:24 Meta-Llama-3-70B-Instruct over fairscale MP; ours is
+    the same trunk on ICI tensor parallelism) over a (1, model_par)
+    mesh: GQA kv cache, bf16 params, Megatron partition rules."""
+    from egoscaler_tpu.configs import LlamaConfig, MeshConfig
+    from egoscaler_tpu.models.llama import LlamaModel, init_kv_cache
+    from egoscaler_tpu.parallel.mesh import make_mesh
+    from egoscaler_tpu.parallel.sharding import param_specs
+
+    cfg = LlamaConfig.llama3_70b()
+    model = LlamaModel(cfg)
+    mesh = make_mesh(
+        MeshConfig(data=1, model=model_par), jax.devices()[:model_par]
+    )
+
+    embeds = jnp.zeros((1, prompt_len, cfg.hidden_size), jnp.bfloat16)
+    positions = jnp.broadcast_to(jnp.arange(prompt_len), (1, prompt_len))
+    params_shapes = jax.eval_shape(
+        lambda r: model.init(r, embeds, positions), jax.random.PRNGKey(0)
+    )
+    specs = param_specs(params_shapes)
+
+    with mesh:
+        params_sds = jax.tree_util.tree_map(
+            lambda x, spec: jax.ShapeDtypeStruct(
+                x.shape, jnp.bfloat16, sharding=NamedSharding(mesh, spec)
+            ),
+            params_shapes, specs,
+            is_leaf=lambda x: isinstance(x, (jax.ShapeDtypeStruct, P)),
+        )
+        cache_shapes = jax.eval_shape(
+            lambda: init_kv_cache(cfg, 1, prompt_len + 128)
+        )
+        cache_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                x.shape, x.dtype,
+                sharding=NamedSharding(mesh, P(None, None, None, "model")),
+            ),
+            cache_shapes,
+        )
+
+        def prefill(p, cache):
+            x, new_cache = model.apply(
+                p, embeds, positions, cache=cache,
+                cache_index=jnp.asarray(0, jnp.int32),
+            )
+            return x, new_cache
+
+        compiled = jax.jit(prefill).lower(params_sds, cache_sds).compile()
+        mem = compiled.memory_analysis()
+
+    param_bytes = sum(
+        x.size * 2 for x in jax.tree_util.tree_leaves(params_shapes)
+    )
+    out = {
+        "mesh": f"1x{model_par}",
+        "prompt_len": prompt_len,
+        "params_total_gib": gib(param_bytes),
+        "params_per_device_gib": gib(param_bytes / model_par),
+        "kv_cache_gqa_gib": gib(
+            sum(x.size * 2 for x in jax.tree_util.tree_leaves(cache_shapes))
+        ),
+    }
+    if mem is not None:
+        out["xla_memory_analysis"] = {
+            "argument_gib": gib(mem.argument_size_in_bytes),
+            "temp_gib": gib(mem.temp_size_in_bytes),
+            "peak_estimate_gib": gib(
+                mem.argument_size_in_bytes + mem.temp_size_in_bytes
+            ),
+        }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", nargs="+", default=["8x1", "4x2"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--param-dtype", default="float32")
     ap.add_argument("--skip-generate", action="store_true")
+    ap.add_argument("--judge-70b", action="store_true")
     args = ap.parse_args()
 
     results = {"train": [], "generate": None}
@@ -241,6 +317,11 @@ def main():
         print("compiling 7B generate path ...", flush=True)
         results["generate"] = analyze_generate(args.batch)
         print(json.dumps(results["generate"], indent=2), flush=True)
+
+    if args.judge_70b:
+        print("compiling LLaMA-3-70B judge prefill on 1x8 ...", flush=True)
+        results["judge_70b"] = analyze_judge_70b(8)
+        print(json.dumps(results["judge_70b"], indent=2), flush=True)
 
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

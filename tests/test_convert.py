@@ -212,3 +212,73 @@ def test_export_roundtrip(torch_llama):
         "lm_head.weight",
     ):
         np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
+def test_llama_gqa_logits_parity():
+    """GQA (num_key_value_heads < heads, LLaMA-2/3-70B layout): our
+    repeat-at-attention decoder must match HF's repeat_kv semantics and
+    load the narrower k/v projections from the same state_dict."""
+    import torch
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    ours = dataclasses.replace(tiny_cfgs(), num_key_value_heads=2)
+    hf_cfg = HFConfig(
+        vocab_size=ours.vocab_size,
+        hidden_size=ours.hidden_size,
+        intermediate_size=ours.intermediate_size,
+        num_hidden_layers=ours.num_hidden_layers,
+        num_attention_heads=ours.num_attention_heads,
+        num_key_value_heads=2,
+        max_position_embeddings=ours.max_position_embeddings,
+        rms_norm_eps=ours.rms_norm_eps,
+        rope_theta=ours.rope_theta,
+        attn_implementation="eager",
+    )
+    torch.manual_seed(1)
+    model = LlamaForCausalLM(hf_cfg).eval().float()
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    pcfg = dataclasses.replace(
+        PointLLMConfig().tiny(), llama=ours,
+        point_patch_token_id=10, point_start_token_id=11,
+        point_end_token_id=12,
+    )
+    variables = convert_pointllm(sd, pcfg, extend_vocab=False)
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, ours.vocab_size, size=(2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids).long()).logits.numpy()
+
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    emb = np.asarray(flat["params/embed_tokens/embedding"])
+    head = np.asarray(flat["params/lm_head/kernel"])
+    trunk_params = {
+        "params": traverse_util.unflatten_dict(
+            {
+                tuple(k.split("/")[2:]): v
+                for k, v in flat.items()
+                if k.startswith("params/model/")
+            }
+        )
+    }
+    trunk = LlamaModel(ours)
+    embeds = jnp.asarray(emb[ids])
+    positions = jnp.broadcast_to(jnp.arange(ids.shape[1]), ids.shape)
+    x, _ = trunk.apply(trunk_params, embeds, positions)
+    logits = np.asarray(x @ head)
+    np.testing.assert_allclose(logits, ref, atol=2e-3, rtol=1e-3)
+
+
+def test_llama3_70b_config():
+    cfg = OurLlamaConfig.llama3_70b()
+    assert cfg.num_hidden_layers == 80
+    assert cfg.num_key_value_heads == 8
+    assert cfg.vocab_size == 128256
+    # GQA cache is heads/kv_heads smaller than MHA would be
+    from egoscaler_tpu.models.llama import init_kv_cache
+
+    cache = jax.eval_shape(lambda: init_kv_cache(cfg, 1, 16))
+    assert cache["k"].shape == (80, 1, 16, 8, 128)

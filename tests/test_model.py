@@ -148,3 +148,31 @@ def test_sample_token_fast_filter_matches_full_sort(rng):
 
     for b in range(logits_np.shape[0]):
         np.testing.assert_array_equal(ours[b], reference_mask(logits_np[b]))
+
+
+def test_generate_matches_forward_gqa(rng):
+    """Same cache-vs-teacher-forcing agreement with GROUPED k/v heads
+    (LLaMA-3 layout): the kvh-head cache must decode identically."""
+    import dataclasses
+
+    from egoscaler_tpu.configs import PointLLMConfig
+
+    cfg = PointLLMConfig().tiny()
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, num_key_value_heads=2)
+    )
+    model = TrajPointLLM(cfg)
+    ids, pc = build_inputs(cfg, rng, batch=1)
+    params = model.init(jax.random.PRNGKey(0), ids, pc)
+    gen_cfg = GenerateConfig(max_new_tokens=5, do_sample=False, eos_token_id=-1)
+    toks, _ = generate(
+        model, params, ids, jnp.ones_like(ids, bool), pc,
+        jax.random.PRNGKey(1), gen_cfg, cache_dtype=jnp.float32,
+    )
+    toks = np.asarray(toks)[0]
+    cur = np.asarray(ids)[0].tolist()
+    for t in range(5):
+        logits = model.apply(params, jnp.asarray([cur]), pc)
+        nxt = int(jnp.argmax(logits[0, -1]))
+        assert nxt == int(toks[t]), f"step {t}"
+        cur.append(nxt)
