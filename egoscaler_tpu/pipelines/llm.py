@@ -94,15 +94,19 @@ class RuleBasedAnnotator:
     def completions(self, prompts: Sequence[str]) -> List[str]:
         outs = []
         for p in prompts:
+            # the query is the last line — zero-shot templates end with
+            # the bare description, few-shot dialogs with 'USER: <desc>'
+            # (prompts.render_dialog)
+            desc = p.strip().splitlines()[-1]
+            if desc.startswith("USER: "):
+                desc = desc[len("USER: "):]
             if "rigid" in p.lower():
-                desc = p.strip().splitlines()[-1]
                 obj, rigid = self.manipulated_object([desc])[0]
                 outs.append(
                     f"manipulated object: {obj or 'none'}, "
                     f"rigid: {'true' if rigid else 'false'}"
                 )
             else:
-                desc = p.strip().splitlines()[-1]
                 outs.append(str(self.filter_actionable([desc])[0]))
         return outs
 
@@ -193,3 +197,47 @@ class OpenAIChat:
             )
             outs.append(r.choices[0].message.content)
         return outs
+
+    def vision(self, system_prompt: str, text: str, images) -> str:
+        """Vision completion (AzureGpt4o.__call__,
+        5_get_timestamp.py:35-90): system prompt + one user turn carrying
+        the text and base64-JPEG data-URL frames at detail 'low'."""
+        import base64
+        import io
+
+        try:
+            from openai import OpenAI
+            from PIL import Image
+        except ImportError as e:
+            raise RuntimeError("openai/PIL unavailable for the VLM path") from e
+        client = OpenAI(api_key=self.api_key, base_url=self.endpoint)
+        content = [{"type": "text", "text": text}]
+        for img in images:
+            buf = io.BytesIO()
+            Image.fromarray(img.astype("uint8")).convert("RGB").save(
+                buf, format="jpeg"
+            )
+            b64 = base64.b64encode(buf.getvalue()).decode()
+            content.append(
+                {
+                    "type": "image_url",
+                    "image_url": {
+                        "url": f"data:image/jpeg;base64,{b64}",
+                        "detail": "low",
+                    },
+                }
+            )
+        r = client.chat.completions.create(
+            model=self.model,
+            messages=[
+                {"role": "system", "content": system_prompt},
+                {"role": "user", "content": content},
+            ],
+            max_tokens=4096,
+            temperature=0.1,
+        )
+        self.total_cost += (
+            r.usage.prompt_tokens / 1000 * self.input_cost_per_1k
+            + r.usage.completion_tokens / 1000 * self.output_cost_per_1k
+        )
+        return r.choices[0].message.content

@@ -13,6 +13,11 @@ import os
 from typing import List, Optional
 
 from egoscaler_tpu.pipelines.llm import ChatModel, RuleBasedAnnotator
+from egoscaler_tpu.pipelines.prompts import (
+    DEFAULT_FILTER_DIALOG,
+    load_dialog,
+    render_dialog,
+)
 from egoscaler_tpu.pipelines.stages.common import (
     chunkify,
     list_stage_files,
@@ -21,6 +26,10 @@ from egoscaler_tpu.pipelines.stages.common import (
     write_json,
 )
 
+# zero-shot variant, kept for single-string callers; the default path is
+# the few-shot dialog (2_filtering_candidate.py:111-127 uses
+# data/prompt/filtering_candidate.json — pass any file in that schema
+# via --prompt_file)
 FILTER_PROMPT = """Decide whether the following egocentric action \
 description shows a person moving or manipulating a single physical \
 object with their hand, in a way a robot arm could reproduce as one \
@@ -43,8 +52,11 @@ def run(
     batch_size: int = 128,
     start_index: int = 0,
     end_index: int = -1,
+    prompt_file: Optional[str] = None,
+    prompt_style: str = "plain",
 ) -> List[dict]:
     chat = chat or RuleBasedAnnotator()
+    dialog = load_dialog(prompt_file) if prompt_file else DEFAULT_FILTER_DIALOG
     cands = shard_files(
         list_stage_files(data_dir, "cands"),
         start_index=start_index, end_index=end_index,
@@ -77,7 +89,10 @@ def run(
         if not batch:
             continue
         outputs = chat.completions(
-            [FILTER_PROMPT.format(desc=d["action_description"]) for d in batch]
+            [
+                render_dialog(dialog, d["action_description"], prompt_style)
+                for d in batch
+            ]
         )
         for d, out in zip(batch, outputs):
             verdict = _strtobool(out.strip().splitlines()[-1])
@@ -103,9 +118,17 @@ def main():
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--start_index", type=int, default=0)
     p.add_argument("--end_index", type=int, default=-1)
+    p.add_argument(
+        "--prompt_file", default=None,
+        help="few-shot dialog JSON (data/prompt/filtering_candidate.json "
+        "schema); defaults to the built-in dialog",
+    )
+    p.add_argument("--prompt_style", default="plain",
+                   choices=("plain", "llama3"))
     args = p.parse_args()
     run(args.data_dir, batch_size=args.batch_size,
-        start_index=args.start_index, end_index=args.end_index)
+        start_index=args.start_index, end_index=args.end_index,
+        prompt_file=args.prompt_file, prompt_style=args.prompt_style)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,11 @@ import re
 from typing import List, Optional
 
 from egoscaler_tpu.pipelines.llm import ChatModel, RuleBasedAnnotator
+from egoscaler_tpu.pipelines.prompts import (
+    DEFAULT_OBJECT_DIALOG,
+    load_dialog,
+    render_dialog,
+)
 from egoscaler_tpu.pipelines.stages.common import (
     chunkify,
     list_stage_files,
@@ -20,6 +25,10 @@ from egoscaler_tpu.pipelines.stages.common import (
     write_json,
 )
 
+# zero-shot variant; the default path is the few-shot dialog
+# (3_get_manipulated_object.py:57-98 uses
+# data/prompt/get_manipulated_object.json — any file in that schema
+# drops in via --prompt_file)
 OBJECT_PROMPT = """For the egocentric action description below, name the \
 single object being manipulated by the person's hand, and state whether \
 it is a rigid body (keeps its shape when moved). Respond in exactly this \
@@ -36,8 +45,11 @@ def run(
     data_dir: str,
     chat: Optional[ChatModel] = None,
     batch_size: int = 256,
+    prompt_file: Optional[str] = None,
+    prompt_style: str = "plain",
 ) -> List[dict]:
     chat = chat or RuleBasedAnnotator()
+    dialog = load_dialog(prompt_file) if prompt_file else DEFAULT_OBJECT_DIALOG
     fil = list_stage_files(data_dir, "fil_cands")
     done = set(list_stage_files(data_dir, "infos"))
     todo = []
@@ -52,7 +64,10 @@ def run(
     kept = []
     for batch in chunkify(todo, batch_size):
         outputs = chat.completions(
-            [OBJECT_PROMPT.format(desc=d["action_description"]) for d in batch]
+            [
+                render_dialog(dialog, d["action_description"], prompt_style)
+                for d in batch
+            ]
         )
         for d, out in zip(batch, outputs):
             m = _PATTERN.search(out)
@@ -92,11 +107,19 @@ def main():
     p.add_argument("--data_dir", required=True)
     p.add_argument("--batch_size", type=int, default=256)
     p.add_argument("--format_all", action="store_true")
+    p.add_argument(
+        "--prompt_file", default=None,
+        help="few-shot dialog JSON (data/prompt/get_manipulated_object"
+        ".json schema); defaults to the built-in dialog",
+    )
+    p.add_argument("--prompt_style", default="plain",
+                   choices=("plain", "llama3"))
     args = p.parse_args()
     if args.format_all:
         format_all(args.data_dir)
     else:
-        run(args.data_dir, batch_size=args.batch_size)
+        run(args.data_dir, batch_size=args.batch_size,
+            prompt_file=args.prompt_file, prompt_style=args.prompt_style)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Dict, List, Optional, Tuple
+import re
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -28,6 +29,85 @@ from egoscaler_tpu.pipelines.stages.common import (
 )
 
 _CAM = CameraConfig()
+
+# Task prompt for the VLM protocol (the reference ships it as
+# data/prompt/get_timestamp.txt and feeds it as the system message,
+# 5_get_timestamp.py:30-44; any custom text file drops in via
+# --prompt_file).
+TIMESTAMP_PROMPT = """\
+You are shown numbered frames subsampled from a first-person video, plus
+an action description and the manipulated object.  Identify the frame
+where the hand-object interaction described begins (start frame) and the
+frame where it ends (end frame).  The clip may contain irrelevant frames
+before and after the action.  The start frame number must be less than
+the end frame number.  Answer with exactly the two frame numbers, e.g.
+"start frame: 2, end frame: 6".  If the described interaction does not
+appear in the frames, answer exactly "invalid"."""
+
+
+def number_frames(frames: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Stamp each frame with its index (5_get_timestamp.py:155-166:
+    white index text near the bottom center)."""
+    from PIL import Image, ImageDraw
+
+    out = []
+    for i, fr in enumerate(frames):
+        img = Image.fromarray(np.asarray(fr).astype(np.uint8))
+        draw = ImageDraw.Draw(img)
+        text = str(i)
+        bbox = draw.textbbox((0, 0), text)
+        tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
+        pos = ((img.width - tw) // 2, max(img.height - th - 100, 0))
+        draw.text(pos, text, fill="white")
+        out.append(np.asarray(img))
+    return out
+
+
+class VlmLocalizer:
+    """VLM frame localization (AzureGpt4o protocol,
+    5_get_timestamp.py:30-90,150-202): number `n_frames` subsampled
+    frames, send them with the task prompt and the action/object query,
+    parse the two frame indices from the reply ("invalid" -> None).
+
+    `vlm(system_prompt, query_text, images) -> str` is any
+    vision-capable chat backend (llm.OpenAIChat.vision on API hosts, a
+    stub in tests).
+    """
+
+    def __init__(
+        self,
+        vlm: Callable[[str, str, List[np.ndarray]], str],
+        prompt: str = TIMESTAMP_PROMPT,
+        n_frames: int = 8,
+    ):
+        self.vlm = vlm
+        self.prompt = prompt
+        self.n_frames = n_frames
+
+    def localize(
+        self,
+        frames: np.ndarray,
+        query: str = "",
+        active_object: str = "",
+    ) -> Optional[Tuple[int, int]]:
+        t = len(frames)
+        sub = np.round(
+            np.arange(0, t, max(t // self.n_frames, 1))
+        ).astype(int)[: self.n_frames]
+        stamped = number_frames([frames[i] for i in sub])
+        text = (
+            f"action description: {query}, manipulated object: {active_object}"
+        )
+        response = self.vlm(self.prompt, text, stamped)
+        if response.strip().lower() == "invalid":
+            return None
+        nums = [int(v) for v in re.findall(r"\d+", response)]
+        if len(nums) != 2:
+            return None
+        s, e = nums
+        if not (0 <= s < len(sub) and 0 <= e < len(sub) and s < e):
+            return None
+        return int(sub[s]), int(sub[e])
 
 
 class MotionLocalizer:
@@ -80,7 +160,7 @@ def load_clip_frames(images_dir: str, data: Dict,
     return (np.stack(frames) if frames else np.zeros((0,))), times
 
 
-def run(args, localizer: Optional[MotionLocalizer] = None) -> List[Dict]:
+def run(args, localizer=None) -> List[Dict]:
     localizer = localizer or MotionLocalizer()
     infos = list_stage_files(args.data_dir, "infos")
     updated = []
@@ -95,7 +175,17 @@ def run(args, localizer: Optional[MotionLocalizer] = None) -> List[Dict]:
         frames, times = load_clip_frames(images_dir, data, stride=args.stride)
         if getattr(frames, "size", 0) == 0:
             continue
-        s, e = localizer.localize(frames)
+        if isinstance(localizer, VlmLocalizer):
+            se = localizer.localize(
+                frames,
+                query=data.get("action_description", ""),
+                active_object=data.get("manipulated_object", ""),
+            )
+            if se is None:  # "invalid" / unparseable: drop, 5_get:189-199
+                continue
+            s, e = se
+        else:
+            s, e = localizer.localize(frames)
         data["start_sec"] = times[s]
         data["end_sec"] = times[e]
         write_json(f, data)
@@ -104,13 +194,32 @@ def run(args, localizer: Optional[MotionLocalizer] = None) -> List[Dict]:
     return updated
 
 
+def build_localizer(kind: str = "motion", prompt_file: Optional[str] = None):
+    """'motion' (zero-egress default) or 'vlm' (OpenAI-compatible API
+    host; reads OPENAI_API_KEY like the reference)."""
+    if kind == "motion":
+        return MotionLocalizer()
+    from egoscaler_tpu.pipelines.llm import OpenAIChat
+
+    prompt = TIMESTAMP_PROMPT
+    if prompt_file:
+        with open(prompt_file) as f:
+            prompt = f.read()
+    return VlmLocalizer(OpenAIChat().vision, prompt=prompt)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--data_dir", required=True)
     p.add_argument("--stride", type=int, default=4,
                    help="frame subsampling for localization")
+    p.add_argument("--localizer", default="motion",
+                   choices=("motion", "vlm"))
+    p.add_argument("--prompt_file", default=None,
+                   help="task prompt text (data/prompt/get_timestamp.txt "
+                   "schema) for the vlm localizer")
     args = p.parse_args()
-    run(args)
+    run(args, localizer=build_localizer(args.localizer, args.prompt_file))
 
 
 if __name__ == "__main__":

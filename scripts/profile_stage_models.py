@@ -1,0 +1,195 @@
+"""Per-component profiling of the full-pipeline bench stages on TPU.
+
+Times each sub-network of the heavy perception models separately so
+optimization effort lands where the milliseconds are:
+
+  * Grounding-DINO (bench: ~437 ms): Swin-B backbone, BERT text encoder,
+    6 fusion+deformable encoder layers over ~13.3k multi-scale tokens,
+    900-query decoder.
+  * LK tracker (bench: ~355 ms / 16 frames).
+  * Depth-Anything ViT-L (bench: ~421 ms / 16 frames): DINOv2 trunk vs
+    DPT head.
+
+Usage: python scripts/profile_stage_models.py [gdino] [lk] [depth]
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def timed(label, fn, iters=3):
+    jax.block_until_ready(fn())
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    print(f"  {label}: {med * 1e3:.1f} ms", flush=True)
+    return med
+
+
+def bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, tree
+    )
+
+
+def profile_gdino(rng):
+    from egoscaler_tpu.models.grounding_dino import (
+        BertTextEncoder,
+        EncoderLayer,
+        DecoderLayer,
+        GroundingDinoConfig,
+        GroundingDinoForDetection,
+        special_token_masks,
+    )
+    from egoscaler_tpu.models.swin import SwinBackbone
+
+    cfg = GroundingDinoConfig()
+    print("grounding-dino components:", flush=True)
+
+    # Swin-B backbone at 800^2
+    swin = SwinBackbone(cfg.backbone)
+    img = jnp.asarray(rng.normal(size=(1, 800, 800, 3)).astype(np.float32))
+    sp = bf16(jax.jit(swin.init)(jax.random.PRNGKey(0), img))
+    sp = jax.block_until_ready(sp)
+    sfwd = jax.jit(lambda p, x: swin.apply(p, x))
+    timed("swin-b 800^2", lambda: sfwd(sp, img))
+
+    # BERT text encoder (8 tokens)
+    ids = np.array([[101, 2711, 1012, 2192, 1012, 3231, 1012, 102]], np.int32)
+    self_masks, pos = special_token_masks(ids)
+    bert = BertTextEncoder(cfg.text)
+    bargs = (
+        jnp.asarray(ids), jnp.asarray(self_masks),
+        jnp.zeros_like(jnp.asarray(ids)), jnp.asarray(pos.astype(np.int32)),
+    )
+    bp = bf16(jax.jit(bert.init)(jax.random.PRNGKey(0), *bargs))
+    bp = jax.block_until_ready(bp)
+    bfwd = jax.jit(lambda p, *a: bert.apply(p, *a))
+    timed("bert-base 8 tok", lambda: bfwd(bp, *bargs))
+
+    # Encoder layer x6 over the multi-scale token set of an 800^2 image
+    shapes = [(100, 100), (50, 50), (25, 25), (13, 13)]
+    s = sum(h * w for h, w in shapes)
+    lvl = len(shapes)
+    d = cfg.d_model
+    vision = jnp.asarray(rng.normal(size=(1, s, d)).astype(np.float32))
+    text = jnp.asarray(rng.normal(size=(1, 8, d)).astype(np.float32))
+    vpos = jnp.asarray(rng.normal(size=(1, s, d)).astype(np.float32))
+    eref = jnp.ones((1, s, lvl, 2), jnp.float32) * 0.5
+    tmask = jnp.asarray(ids != 0)
+    layer = EncoderLayer(cfg)
+
+    def enc_fwd(p, v, t):
+        for _ in range(cfg.encoder_layers):
+            v, t = layer.apply(p, v, t, vpos, shapes, eref, ~tmask,
+                               jnp.asarray(self_masks),
+                               jnp.asarray(pos.astype(np.int32)))
+        return v, t
+
+    ep = bf16(layer.init(jax.random.PRNGKey(0), vision, text, vpos, shapes,
+                         eref, ~tmask, jnp.asarray(self_masks),
+                         jnp.asarray(pos.astype(np.int32))))
+    ep = jax.block_until_ready(ep)
+    jenc = jax.jit(enc_fwd)
+    timed(f"encoder x{cfg.encoder_layers} (S={s})", lambda: jenc(ep, vision, text))
+
+    # Decoder layer x6 with 900 queries
+    q = cfg.num_queries
+    x = jnp.asarray(rng.normal(size=(1, q, d)).astype(np.float32))
+    qpos = jnp.asarray(rng.normal(size=(1, q, d)).astype(np.float32))
+    dref = jnp.ones((1, q, lvl, 4), jnp.float32) * 0.4
+    tadd = jnp.zeros((1, cfg.decoder_attention_heads, q, 8), jnp.float32)
+    dlayer = DecoderLayer(cfg)
+    dp = bf16(dlayer.init(jax.random.PRNGKey(0), x, qpos, dref, shapes,
+                          vision, text, tadd))
+    dp = jax.block_until_ready(dp)
+
+    def dec_fwd(p, xx):
+        for _ in range(cfg.decoder_layers):
+            xx = dlayer.apply(p, xx, qpos, dref, shapes, vision, text, tadd)
+        return xx
+
+    jdec = jax.jit(dec_fwd)
+    timed(f"decoder x{cfg.decoder_layers} (Q={q})", lambda: jdec(dp, x))
+
+    # whole model for reference
+    model = GroundingDinoForDetection(cfg)
+    args = (
+        img, jnp.asarray(ids), jnp.zeros_like(jnp.asarray(ids)),
+        jnp.asarray(ids != 0), jnp.asarray(self_masks),
+        jnp.asarray(pos.astype(np.int32)),
+    )
+    params = bf16(jax.jit(model.init)(jax.random.PRNGKey(0), *args))
+    params = jax.block_until_ready(params)
+    jfwd = jax.jit(
+        lambda p, *a: (model.apply(p, *a)["logits"],)
+    )
+    timed("FULL grounding-dino", lambda: jfwd(params, *args))
+
+
+def profile_lk(rng, t=16):
+    from egoscaler_tpu.ops.lucas_kanade import lk_track_clip, mask_query_points
+
+    h, w, q = 384, 512, 256
+    clip = jnp.asarray(rng.normal(size=(t, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray((1.0 + rng.random((t, h, w))).astype(np.float32))
+    mask = np.zeros((h, w), bool)
+    mask[150:250, 200:320] = True
+    pts, _ = mask_query_points(jnp.asarray(mask), q, jax.random.PRNGKey(0))
+    print("LK tracker:", flush=True)
+    for iters in (10, 5):
+        track = jax.jit(
+            lambda c, d, p: lk_track_clip(c, d, p, iters=iters)
+        )
+        timed(f"lk 16fr x{q}pts iters={iters}",
+              lambda: track(clip, depths, pts))
+
+
+def profile_depth(rng, t=16):
+    from egoscaler_tpu.models.depth_anything import (
+        DepthAnythingConfig,
+        DepthAnythingV2,
+    )
+
+    print("depth-anything:", flush=True)
+    cfg = DepthAnythingConfig()
+    model = DepthAnythingV2(cfg)
+    x1 = jnp.zeros((1, 518, 518, 3), jnp.float32)
+    params = bf16(jax.jit(model.init)(jax.random.PRNGKey(0), x1))
+    params = jax.block_until_ready(params)
+    frames = jnp.asarray(
+        rng.normal(size=(t, 518, 518, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    timed(f"FULL vit-l x{t}", lambda: fwd(params, frames))
+    # trunk only (features) if exposed
+    try:
+        trunk = jax.jit(
+            lambda p, x: model.apply(p, x, method=model.backbone_features)
+        )
+        timed(f"dinov2 trunk x{t}", lambda: trunk(params, frames))
+    except Exception as e:  # method may not exist
+        print(f"  (no trunk-only method: {type(e).__name__})", flush=True)
+
+
+def main():
+    which = set(sys.argv[1:]) or {"gdino", "lk", "depth"}
+    rng = np.random.default_rng(0)
+    if "gdino" in which:
+        profile_gdino(rng)
+    if "lk" in which:
+        profile_lk(rng)
+    if "depth" in which:
+        profile_depth(rng)
+
+
+if __name__ == "__main__":
+    main()
