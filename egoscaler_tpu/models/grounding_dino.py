@@ -19,8 +19,9 @@ converted checkpoints drop in:
 * contrastive class head (query @ text^T) + 3-layer box MLP.
 
 Deformable attention's CUDA grid_sample kernel becomes a gather-based
-bilinear sampler (`bilinear_grid_sample`) — XLA fuses the 4-corner
-gathers; sampling grids are tiny (queries x heads x 4 levels x 4 pts).
+bilinear sampler (`bilinear_grid_sample`): one (2, 2)-block lax.gather
+per sample over a zero-padded plane, weighted per level and accumulated
+without materializing the level stack.
 
 All shapes static under jit; images are assumed unpadded (pixel_mask of
 ones — the pipeline feeds fixed-size frames), matching the HF default.
@@ -78,6 +79,10 @@ class GroundingDinoConfig:
     max_text_len: int = 256
     positional_embedding_temperature: float = 20.0
     layer_norm_eps: float = 1e-5
+    # dtype for the deformable-attention value tensor ("bfloat16" halves
+    # the gather traffic of the encoder — the dominant cost at 800^2;
+    # None keeps f32 for strict HF parity checks)
+    deformable_value_dtype: Optional[str] = None
     backbone: SwinConfig = dataclasses.field(default_factory=SwinConfig)
     text: BertConfig = dataclasses.field(default_factory=BertConfig)
 
@@ -273,35 +278,59 @@ def bilinear_grid_sample(value: jax.Array, grid: jax.Array) -> jax.Array:
 
     value: (B, H, W, C); grid: (B, Q, P, 2) in [-1, 1] (x, y).
     Returns (B, Q, P, C).
+
+    One `lax.gather` of a (2, 2) corner block per sample instead of four
+    per-corner gathers: the deformable encoder is gather-bound on TPU
+    (Swin-B itself is ~6 ms while the encoder dominates the 800^2
+    forward), and block gathers quarter the index count for the same
+    bytes.  A one-pixel zero-pad ring keeps the clamped blocks exactly
+    equivalent to per-corner clamp+mask semantics.
     """
     b, h, w, c = value.shape
     x = ((grid[..., 0] + 1.0) * w - 1.0) / 2.0
     y = ((grid[..., 1] + 1.0) * h - 1.0) / 2.0
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    x1, y1 = x0 + 1.0, y0 + 1.0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
 
     wx1 = x - x0
     wy1 = y - y0
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    def gather(yi, xi):
-        inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        flat = value.reshape(b, h * w, c)
-        idx = yc * w + xc  # (B, Q, P)
-        out = jnp.take_along_axis(
-            flat, idx.reshape(b, -1, 1), axis=1
-        ).reshape(*idx.shape, c)
-        return out * inside[..., None]
+    padded = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    starts = jnp.stack(
+        [jnp.clip(y0i + 1, 0, h), jnp.clip(x0i + 1, 0, w)], axis=-1
+    ).reshape(b, -1, 2)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def gather_blocks(v, s):
+        return jax.lax.gather(
+            v, s, dimension_numbers=dnums, slice_sizes=(2, 2, c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+
+    blocks = jax.vmap(gather_blocks)(padded, starts)  # (B, N, 2, 2, C)
+    blocks = blocks.reshape(*y0i.shape, 2, 2, c)
+
+    # per-corner validity (zeros padding): only binds when the clamp on
+    # the block start engaged (|y0| or |x0| beyond the pad ring)
+    vx0 = (x0i >= 0) & (x0i <= w - 1)
+    vx1 = (x0i >= -1) & (x0i <= w - 2)
+    vy0 = (y0i >= 0) & (y0i <= h - 1)
+    vy1 = (y0i >= -1) & (y0i <= h - 2)
 
     return (
-        gather(y0, x0) * (wy0 * wx0)[..., None]
-        + gather(y0, x1) * (wy0 * wx1)[..., None]
-        + gather(y1, x0) * (wy1 * wx0)[..., None]
-        + gather(y1, x1) * (wy1 * wx1)[..., None]
+        blocks[..., 0, 0, :] * ((vy0 & vx0) * wy0 * wx0)[..., None]
+        + blocks[..., 0, 1, :] * ((vy0 & vx1) * wy0 * wx1)[..., None]
+        + blocks[..., 1, 0, :] * ((vy1 & vx0) * wy1 * wx0)[..., None]
+        + blocks[..., 1, 1, :] * ((vy1 & vx1) * wy1 * wx1)[..., None]
     )
 
 
@@ -311,25 +340,28 @@ def multi_scale_deformable_attention(
     sampling_locations: jax.Array,    # (B, Q, heads, L, P, 2) in [0, 1]
     attention_weights: jax.Array,     # (B, Q, heads, L, P)
 ) -> jax.Array:
-    """MultiScaleDeformableAttention.forward (:46-98) via gathers."""
+    """MultiScaleDeformableAttention.forward (:46-98) via gathers.
+
+    Accumulates the weighted samples per level instead of stacking all
+    (B*heads, Q, L, P, hd) samples — the stack is the largest
+    intermediate of the encoder and never needs to materialize."""
     b, _, heads, hd = value.shape
     q = sampling_locations.shape[1]
     grids = 2 * sampling_locations - 1
+    wts = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
+        b * heads, q, len(spatial_shapes), -1, 1
+    )
     start = 0
-    sampled = []
+    out = None
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = value[:, start : start + h * w]  # (B, hw, heads, hd)
         v = v.transpose(0, 2, 1, 3).reshape(b * heads, h, w, hd)
         g = grids[:, :, :, lvl]  # (B, Q, heads, P, 2)
         g = g.transpose(0, 2, 1, 3, 4).reshape(b * heads, q, -1, 2)
         s = bilinear_grid_sample(v, g)  # (B*heads, Q, P, hd)
-        sampled.append(s)
+        contrib = (s * wts[:, :, lvl]).sum(axis=2)  # (B*heads, Q, hd)
+        out = contrib if out is None else out + contrib
         start += h * w
-    stacked = jnp.stack(sampled, axis=2)  # (B*heads, Q, L, P, hd)
-    wts = attention_weights.transpose(0, 2, 1, 3, 4).reshape(
-        b * heads, q, len(spatial_shapes), -1, 1
-    )
-    out = (stacked * wts).sum(axis=(2, 3))  # (B*heads, Q, hd)
     return out.reshape(b, heads, q, hd).transpose(0, 2, 1, 3).reshape(b, q, heads * hd)
 
 
@@ -357,6 +389,8 @@ class DeformableAttention(nn.Module):
         n_levels = len(spatial_shapes)
 
         value = nn.Dense(c.d_model, name="value_proj")(encoder_hidden_states)
+        if c.deformable_value_dtype is not None:
+            value = value.astype(c.deformable_value_dtype)
         value = value.reshape(b, s, self.num_heads, c.d_model // self.num_heads)
         offsets = nn.Dense(
             self.num_heads * n_levels * self.n_points * 2, name="sampling_offsets"

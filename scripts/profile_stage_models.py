@@ -21,12 +21,19 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(label, fn, iters=3):
-    jax.block_until_ready(fn())
+def timed(label, fn, iters=5):
+    """Median of per-call SCALAR host fetches.  The timed fn must return
+    a scalar computed inside its own jit (e.g. output.sum()): through
+    the axon relay, bare block_until_ready on device arrays can ack
+    before execution and report garbage (CLAUDE.md), while a dependent
+    scalar fetch cannot."""
+    out = fn()
+    assert np.asarray(out).size == 1, f"{label}: fn must return a scalar"
+    float(np.asarray(out).ravel()[0])  # warm
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        float(np.asarray(fn()).ravel()[0])
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
     print(f"  {label}: {med * 1e3:.1f} ms", flush=True)
@@ -59,7 +66,11 @@ def profile_gdino(rng):
     img = jnp.asarray(rng.normal(size=(1, 800, 800, 3)).astype(np.float32))
     sp = bf16(jax.jit(swin.init)(jax.random.PRNGKey(0), img))
     sp = jax.block_until_ready(sp)
-    sfwd = jax.jit(lambda p, x: swin.apply(p, x))
+    sfwd = jax.jit(
+        lambda p, x: sum(
+            jnp.sum(o.astype(jnp.float32)) for o in swin.apply(p, x)
+        )
+    )
     timed("swin-b 800^2", lambda: sfwd(sp, img))
 
     # BERT text encoder (8 tokens)
@@ -72,7 +83,9 @@ def profile_gdino(rng):
     )
     bp = bf16(jax.jit(bert.init)(jax.random.PRNGKey(0), *bargs))
     bp = jax.block_until_ready(bp)
-    bfwd = jax.jit(lambda p, *a: bert.apply(p, *a))
+    bfwd = jax.jit(
+        lambda p, *a: jnp.sum(bert.apply(p, *a).astype(jnp.float32))
+    )
     timed("bert-base 8 tok", lambda: bfwd(bp, *bargs))
 
     # Encoder layer x6 over the multi-scale token set of an 800^2 image
@@ -92,7 +105,7 @@ def profile_gdino(rng):
             v, t = layer.apply(p, v, t, vpos, shapes, eref, ~tmask,
                                jnp.asarray(self_masks),
                                jnp.asarray(pos.astype(np.int32)))
-        return v, t
+        return jnp.sum(v.astype(jnp.float32)) + jnp.sum(t.astype(jnp.float32))
 
     ep = bf16(layer.init(jax.random.PRNGKey(0), vision, text, vpos, shapes,
                          eref, ~tmask, jnp.asarray(self_masks),
@@ -100,6 +113,23 @@ def profile_gdino(rng):
     ep = jax.block_until_ready(ep)
     jenc = jax.jit(enc_fwd)
     timed(f"encoder x{cfg.encoder_layers} (S={s})", lambda: jenc(ep, vision, text))
+
+    # same params, bf16 deformable value (halved gather bytes)
+    import dataclasses as _dc
+
+    cfg_bf = _dc.replace(cfg, deformable_value_dtype="bfloat16")
+    layer_bf = EncoderLayer(cfg_bf)
+
+    def enc_fwd_bf(p, v, t):
+        for _ in range(cfg.encoder_layers):
+            v, t = layer_bf.apply(p, v, t, vpos, shapes, eref, ~tmask,
+                                  jnp.asarray(self_masks),
+                                  jnp.asarray(pos.astype(np.int32)))
+        return jnp.sum(v.astype(jnp.float32)) + jnp.sum(t.astype(jnp.float32))
+
+    jenc_bf = jax.jit(enc_fwd_bf)
+    timed(f"encoder x{cfg.encoder_layers} bf16-value",
+          lambda: jenc_bf(ep, vision, text))
 
     # Decoder layer x6 with 900 queries
     q = cfg.num_queries
@@ -115,7 +145,7 @@ def profile_gdino(rng):
     def dec_fwd(p, xx):
         for _ in range(cfg.decoder_layers):
             xx = dlayer.apply(p, xx, qpos, dref, shapes, vision, text, tadd)
-        return xx
+        return jnp.sum(xx.astype(jnp.float32))
 
     jdec = jax.jit(dec_fwd)
     timed(f"decoder x{cfg.decoder_layers} (Q={q})", lambda: jdec(dp, x))
@@ -129,9 +159,12 @@ def profile_gdino(rng):
     )
     params = bf16(jax.jit(model.init)(jax.random.PRNGKey(0), *args))
     params = jax.block_until_ready(params)
-    jfwd = jax.jit(
-        lambda p, *a: (model.apply(p, *a)["logits"],)
-    )
+    def full_scalar(p, *a):
+        out = model.apply(p, *a)
+        logits = jnp.where(jnp.isfinite(out["logits"]), out["logits"], 0.0)
+        return jnp.sum(logits) + jnp.sum(out["pred_boxes"])
+
+    jfwd = jax.jit(full_scalar)
     timed("FULL grounding-dino", lambda: jfwd(params, *args))
 
 
@@ -147,7 +180,7 @@ def profile_lk(rng, t=16):
     print("LK tracker:", flush=True)
     for iters in (10, 5):
         track = jax.jit(
-            lambda c, d, p: lk_track_clip(c, d, p, iters=iters)
+            lambda c, d, p: jnp.sum(lk_track_clip(c, d, p, iters=iters))
         )
         timed(f"lk 16fr x{q}pts iters={iters}",
               lambda: track(clip, depths, pts))
@@ -168,7 +201,9 @@ def profile_depth(rng, t=16):
     frames = jnp.asarray(
         rng.normal(size=(t, 518, 518, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    fwd = jax.jit(
+        lambda p, x: jnp.sum(model.apply(p, x).astype(jnp.float32))
+    )
     timed(f"FULL vit-l x{t}", lambda: fwd(params, frames))
     # trunk only (features) if exposed
     try:
