@@ -281,10 +281,20 @@ class SpaTracker(nn.Module):
 
 @dataclasses.dataclass
 class SpaTrackerPredictor:
-    """Sliding-window inference (predictor.py:37-78 equivalent)."""
+    """Sliding-window inference (predictor.py:37-78 equivalent).
+
+    The per-window forward is jitted once and reused across windows and
+    clips (same shapes -> one compile): an eager window through the
+    remote-relay host path measured ~200x slower than the compiled call
+    (19.6 s vs ~0.1 s/window on a 16-frame clip)."""
 
     model: SpaTracker
     params: dict
+
+    def __post_init__(self):
+        self._window_fn = jax.jit(
+            lambda p, c, d, q: self.model.apply(p, c, d, q)
+        )
 
     def __call__(
         self,
@@ -303,7 +313,7 @@ class SpaTrackerPredictor:
         while start < t:
             end = min(start + win, t)
             seg = slice(end - win, end) if end - start < win else slice(start, end)
-            tracks, vis = self.model.apply(
+            tracks, vis = self._window_fn(
                 self.params, clip[seg], depths[seg], cur_q
             )
             take_from = start - seg.start

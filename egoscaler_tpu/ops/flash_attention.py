@@ -41,12 +41,12 @@ def _interpret() -> bool:
 
 
 def _flash_kernel(
-    q_ref,            # (1, 1, bq, d)
-    k_ref,            # (1, 1, T, d)
-    v_ref,            # (1, 1, T, d)
+    q_ref,            # (1, hpack, bq, d)
+    k_ref,            # (1, hpack, T, d)
+    v_ref,            # (1, hpack, T, d)
     mask_ref,         # (1, 1, T) int32 (1 = valid key)
-    o_ref,            # (1, 1, bq, d)
-    lse_ref,          # (1, 1, bq, 128) f32 logsumexp, lane-broadcast
+    o_ref,            # (1, hpack, bq, d)
+    lse_ref,          # (1, hpack, bq, 128) f32 logsumexp, lane-broadcast
                       # (Mosaic requires >=(8,128)-tileable blocks)
     *,
     block_kv: int,
@@ -56,43 +56,10 @@ def _flash_kernel(
     kv_len_static: int,
 ):
     qi = pl.program_id(2)
+    hpack = q_ref.shape[1]
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
     num_kv_blocks = kv_len_static // block_kv
-
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
-
-    def body(ki, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-
-        kmask = mask_ref[0, 0, pl.ds(ki * block_kv, block_kv)]  # (bkv,)
-        mask = jnp.broadcast_to(kmask[None, :] > 0, (bq, block_kv))
-        if causal:
-            kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_kv), 1
-            )
-            q_pos = q_offset + qi * bq + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, block_kv), 0
-            )
-            mask = mask & (kv_pos <= q_pos)
-        s = jnp.where(mask, s, _NEG_INF)
-
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jnp.dot(
-            p, v_blk, preferred_element_type=jnp.float32
-        )
-        return m_new, l_new, acc
-
-    m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
 
     if causal:
         last_q_pos = q_offset + (qi + 1) * bq - 1
@@ -100,11 +67,53 @@ def _flash_kernel(
     else:
         needed = num_kv_blocks
 
-    m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-30)[:, None]
-    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
-    lse = m + jnp.log(jnp.maximum(l, 1e-30))
-    lse_ref[0, 0, :, :] = jnp.broadcast_to(lse[:, None], lse_ref.shape[2:])
+    # several heads per program (hpack) amortize the per-program
+    # dispatch overhead (~3 us each — it dominated at d=64 ViT shapes);
+    # matmuls stay in the input dtype (bf16 on the fast path) with f32
+    # accumulation, the scale is applied to the f32 scores
+    for hp in range(hpack):
+        q = q_ref[0, hp, :, :]
+
+        def body(ki, carry):
+            m_prev, l_prev, acc = carry
+            k_blk = k_ref[0, hp, pl.ds(ki * block_kv, block_kv), :]
+            v_blk = v_ref[0, hp, pl.ds(ki * block_kv, block_kv), :]
+            s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+
+            kmask = mask_ref[0, 0, pl.ds(ki * block_kv, block_kv)]  # (bkv,)
+            mask = jnp.broadcast_to(kmask[None, :] > 0, (bq, block_kv))
+            if causal:
+                kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_kv), 1
+                )
+                q_pos = q_offset + qi * bq + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_kv), 0
+                )
+                mask = mask & (kv_pos <= q_pos)
+            s = jnp.where(mask, s, _NEG_INF)
+
+            m_cur = jnp.max(s, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new[:, None])
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[:, None] + jnp.dot(
+                p.astype(v_blk.dtype), v_blk,
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq,), jnp.float32)
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+
+        m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)[:, None]
+        o_ref[0, hp, :, :] = out.astype(o_ref.dtype)
+        lse = m + jnp.log(jnp.maximum(l, 1e-30))
+        lse_ref[0, hp, :, :] = jnp.broadcast_to(
+            lse[:, None], lse_ref.shape[2:]
+        )
 
 
 def _flash_forward(
@@ -123,7 +132,15 @@ def _flash_forward(
     kp = jnp.swapaxes(kp, 1, 2)
     vp = jnp.swapaxes(vp, 1, 2)
 
-    grid = (b, h, s_pad // block_q)
+    # pack heads per program to amortize dispatch; keep KV VMEM residency
+    # (hpack copies of the full padded KV) within budget
+    hpack = 1
+    for cand in (4, 2):
+        if h % cand == 0 and cand * t_pad * d * qp.dtype.itemsize * 2 <= 2**21:
+            hpack = cand
+            break
+
+    grid = (b, h // hpack, s_pad // block_q)
     kernel = functools.partial(
         _flash_kernel,
         block_kv=block_kv,
@@ -137,18 +154,22 @@ def _flash_forward(
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+                (1, hpack, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
             ),
-            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec(
+                (1, hpack, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, hpack, t_pad, d), lambda bi, hi, qi: (bi, hi, 0, 0)
+            ),
             pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+                (1, hpack, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
             ),
             pl.BlockSpec(
-                (1, 1, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
+                (1, hpack, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
             ),
         ],
         out_shape=[
@@ -181,15 +202,15 @@ def _flash_bwd_dq_kernel(
     bq, d = q_ref.shape[2], q_ref.shape[3]
     num_kv_blocks = kv_len_static // block_kv
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32) * scale
-    do = do_ref[0, 0, :, :].astype(jnp.float32)
+    q = q_ref[0, 0, :, :]
+    do = do_ref[0, 0, :, :]
     lse = lse_ref[0, 0, :, 0]
     delta = delta_ref[0, 0, :, 0]
 
     def body(ki, dq):
-        k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
-        v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+        k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
+        v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
         kmask = mask_ref[0, 0, pl.ds(ki * block_kv, block_kv)]
         mask = jnp.broadcast_to(kmask[None, :] > 0, (bq, block_kv))
         if causal:
@@ -204,7 +225,9 @@ def _flash_bwd_dq_kernel(
         p = jnp.exp(s - lse[:, None])
         dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
         ds = p * (dp - delta[:, None])
-        return dq + jnp.dot(ds, k_blk, preferred_element_type=jnp.float32)
+        return dq + jnp.dot(
+            ds.astype(k_blk.dtype), k_blk, preferred_element_type=jnp.float32
+        )
 
     if causal:
         last_q_pos = q_offset + (qi + 1) * bq - 1
@@ -236,21 +259,17 @@ def _flash_bwd_dkv_kernel(
     bkv, d = k_ref.shape[2], k_ref.shape[3]
     num_q_blocks = q_len_static // block_q
 
-    k_blk = k_ref[0, 0, :, :].astype(jnp.float32)
-    v_blk = v_ref[0, 0, :, :].astype(jnp.float32)
+    k_blk = k_ref[0, 0, :, :]
+    v_blk = v_ref[0, 0, :, :]
     kmask = mask_ref[0, 0, :] > 0
 
     def body(qi, carry):
         dk, dv = carry
-        q_blk = q_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(
-            jnp.float32
-        ) * scale
-        do_blk = do_ref[0, 0, pl.ds(qi * block_q, block_q), :].astype(
-            jnp.float32
-        )
+        q_blk = q_ref[0, 0, pl.ds(qi * block_q, block_q), :]
+        do_blk = do_ref[0, 0, pl.ds(qi * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qi * block_q, block_q), 0]
         delta = delta_ref[0, 0, pl.ds(qi * block_q, block_q), 0]
-        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(q_blk, k_blk.T, preferred_element_type=jnp.float32) * scale
         mask = jnp.broadcast_to(kmask[None, :], (block_q, bkv))
         if causal:
             kv_pos = ki * bkv + jax.lax.broadcasted_iota(
@@ -262,9 +281,10 @@ def _flash_bwd_dkv_kernel(
             mask = mask & (kv_pos <= q_pos)
         s = jnp.where(mask, s, _NEG_INF)
         p = jnp.exp(s - lse[:, None])
-        dv = dv + jnp.dot(p.T, do_blk, preferred_element_type=jnp.float32)
+        pb = p.astype(do_blk.dtype)
+        dv = dv + jnp.dot(pb.T, do_blk, preferred_element_type=jnp.float32)
         dp = jnp.dot(do_blk, v_blk.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
+        ds = (p * (dp - delta[:, None]) * scale).astype(q_blk.dtype)
         dk = dk + jnp.dot(ds.T, q_blk, preferred_element_type=jnp.float32)
         return dk, dv
 
@@ -277,7 +297,7 @@ def _flash_bwd_dkv_kernel(
         start, num_q_blocks, body,
         (jnp.zeros((bkv, d), jnp.float32), jnp.zeros((bkv, d), jnp.float32)),
     )
-    # q was pre-scaled; dk = ds^T @ (q*scale) already carries the scale
+    # ds was pre-scaled, so dk = (ds*scale)^T @ q carries the scale
     dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
 
@@ -412,8 +432,8 @@ def flash_attention(
     kv_mask: Optional[jax.Array] = None,
     kv_lengths: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_kv: int = 256,
+    block_q: Optional[int] = None,
+    block_kv: Optional[int] = None,
     use_pallas_bwd: bool = True,
 ) -> jax.Array:
     """Flash attention on (B, S, H, D) / (B, T, H, D) inputs.
@@ -423,9 +443,17 @@ def flash_attention(
     padded to block multiples internally.  Differentiable: the backward
     is a fused Pallas pair (dQ / dK+dV) with no S^2 intermediate;
     `use_pallas_bwd=False` differentiates the XLA reference instead.
+
+    Default block sizes auto-tune to the sequence: 512 once the padded
+    length amortizes it (fewer programs — dispatch overhead dominated at
+    ViT shapes), 256 otherwise.
     """
     b, s, h, d = q.shape
     t = k.shape[1]
+    if block_q is None:
+        block_q = 512 if s >= 1024 else 256
+    if block_kv is None:
+        block_kv = 512 if t >= 1024 else 256
     scale = float(d ** -0.5 if scale is None else scale)
     if kv_mask is None:
         if kv_lengths is None:

@@ -12,6 +12,7 @@ optimization effort lands where the milliseconds are:
 
 Usage: python scripts/profile_stage_models.py [gdino] [lk] [depth]
 """
+import os
 import sys
 import time
 
@@ -188,8 +189,10 @@ def profile_lk(rng, t=16):
 
 def profile_depth(rng, t=16):
     from egoscaler_tpu.models.depth_anything import (
+        DPTHead,
         DepthAnythingConfig,
         DepthAnythingV2,
+        DinoV2,
     )
 
     print("depth-anything:", flush=True)
@@ -205,18 +208,139 @@ def profile_depth(rng, t=16):
         lambda p, x: jnp.sum(model.apply(p, x).astype(jnp.float32))
     )
     timed(f"FULL vit-l x{t}", lambda: fwd(params, frames))
-    # trunk only (features) if exposed
-    try:
-        trunk = jax.jit(
-            lambda p, x: model.apply(p, x, method=model.backbone_features)
+
+    trunk = DinoV2(cfg)
+    tp = bf16(trunk.init(jax.random.PRNGKey(0), x1))
+    tp = jax.block_until_ready(tp)
+
+    def trunk_scalar(p, x):
+        outs, _ = trunk.apply(p, x)
+        return sum(
+            jnp.sum(a.astype(jnp.float32)) + jnp.sum(c.astype(jnp.float32))
+            for a, c in outs
         )
-        timed(f"dinov2 trunk x{t}", lambda: trunk(params, frames))
-    except Exception as e:  # method may not exist
-        print(f"  (no trunk-only method: {type(e).__name__})", flush=True)
+
+    jtrunk = jax.jit(trunk_scalar)
+    timed(f"dinov2 trunk x{t}", lambda: jtrunk(tp, frames))
+
+    head = DPTHead(cfg)
+    ph = 518 // cfg.patch_size
+    feats = [
+        (
+            jnp.asarray(
+                rng.normal(size=(t, ph * ph, cfg.embed_dim)).astype(np.float32)
+            ).astype(jnp.bfloat16),
+            jnp.zeros((t, cfg.embed_dim), jnp.bfloat16),
+        )
+        for _ in range(4)
+    ]
+    hp = bf16(head.init(jax.random.PRNGKey(0), feats, (ph, ph)))
+    hp = jax.block_until_ready(hp)
+    jhead = jax.jit(
+        lambda p, f: jnp.sum(head.apply(p, f, (ph, ph)).astype(jnp.float32))
+    )
+    timed(f"dpt head x{t}", lambda: jhead(hp, feats))
+
+
+def profile_tracker(rng, t=16):
+    import dataclasses as _dc
+    import os
+
+    from flax import traverse_util
+
+    from egoscaler_tpu.models.tracker import (
+        SpaTracker,
+        SpaTrackerPredictor,
+        TrackerConfig,
+    )
+
+    print("learned tracker:", flush=True)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "egoscaler_tpu", "assets", "tracker_occlusion.npz",
+    )
+    with np.load(path) as z:
+        params = traverse_util.unflatten_dict(
+            {k: z[k] for k in z.files}, sep="/"
+        )
+    cfg = _dc.replace(TrackerConfig().tiny(), iters=4, window=8)
+    model = SpaTracker(cfg)
+    h, w, q = 384, 512, 256
+    clip = jnp.asarray(
+        rng.random((t, h, w, 3)).astype(np.float32)
+    )
+    depths = jnp.asarray((1.0 + rng.random((t, h, w))).astype(np.float32))
+    queries = jnp.asarray(
+        np.stack(
+            [rng.uniform(100, 400, q), rng.uniform(100, 300, q),
+             1.0 + rng.random(q)], axis=1
+        ).astype(np.float32)
+    )
+    # one window, jitted scalar
+    jwin = jax.jit(
+        lambda p, c, d, qq: jnp.sum(model.apply(p, c, d, qq)[0])
+    )
+    w8 = cfg.window
+    timed(
+        f"window tracker {w8}fr x{q}pts",
+        lambda: jwin(params, clip[:w8], depths[:w8], queries),
+    )
+    # full clip through the sliding-window predictor (host loop)
+    pred = SpaTrackerPredictor(model, params)
+
+    def full():
+        out = pred(clip, depths, queries)
+        return jnp.sum(out)
+
+    timed(f"predictor {t}fr x{q}pts (3 windows)", full)
+
+
+def profile_sam(rng):
+    from egoscaler_tpu.models.sam import SamConfig, SamModel
+
+    print("SAM:", flush=True)
+    cfg = SamConfig.vit_h()
+    model = SamModel(cfg)
+    img = jnp.asarray(rng.normal(size=(1, 1024, 1024, 3)).astype(np.float32))
+    boxes = jnp.asarray([[[200.0, 200.0, 700.0, 700.0]]])
+    params = bf16(jax.jit(model.init)(jax.random.PRNGKey(0), img, None, None, boxes))
+    params = jax.block_until_ready(params)
+
+    def scalar(p, i, b):
+        out = model.apply(p, i, None, None, b)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.sum(leaf.astype(jnp.float32))
+
+    jfwd = jax.jit(scalar)
+    timed("SAM ViT-H 1024^2", lambda: jfwd(params, img, boxes))
+
+
+def profile_reg(rng, t=16, h=384, w=384):
+    from egoscaler_tpu.configs import DataConfig, PCMConfig
+    from egoscaler_tpu.pipelines.trajectory import extract_trajectory
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench as bench_mod
+
+    print("registration:", flush=True)
+    frames, masks, tracks, f, pp = bench_mod.make_bench_clip(rng, t, h, w)
+    cfg = DataConfig(pcm=PCMConfig(voxel_size=0.1))
+    fj, mj, tj = jnp.asarray(frames), jnp.asarray(masks), jnp.asarray(tracks)
+    ex = jax.jit(
+        lambda fr, ma, tr: jnp.sum(
+            extract_trajectory(
+                fr, ma, tr, jnp.asarray(t), f, pp, cfg=cfg,
+                max_keypoints=4096, num_hypotheses=2048,
+            ).traj_quat
+        )
+    )
+    timed("registration+trajectory (16fr)", lambda: ex(fj, mj, tj))
 
 
 def main():
-    which = set(sys.argv[1:]) or {"gdino", "lk", "depth"}
+    which = set(sys.argv[1:]) or {
+        "gdino", "lk", "depth", "tracker", "sam", "reg"
+    }
     rng = np.random.default_rng(0)
     if "gdino" in which:
         profile_gdino(rng)
@@ -224,6 +348,12 @@ def main():
         profile_lk(rng)
     if "depth" in which:
         profile_depth(rng)
+    if "tracker" in which:
+        profile_tracker(rng)
+    if "sam" in which:
+        profile_sam(rng)
+    if "reg" in which:
+        profile_reg(rng)
 
 
 if __name__ == "__main__":
