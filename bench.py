@@ -13,8 +13,11 @@ reference's operating points (7_get_object_trajectory.py:34-354):
      (6_get_bounding_box.py:130-135);
   3. object segmentation on the observation frame — SAM ViT-H at 1024^2
      box-prompted (grounded_sam.py:179-208);
-  4. 3D point tracking through the clip — pyramidal LK at 384x512 with
-     mask-seeded queries (SpaTracker predictor.py:160-222 interface);
+  4. 3D point tracking through the clip at 384x512 with mask-seeded
+     queries (SpaTracker predictor.py:160-222 interface) — the trained
+     window tracker (assets/tracker_occlusion.npz, sliding windows like
+     the reference's SpaTracker), falling back to pyramidal LK when the
+     weight asset is absent;
   5. per-frame-pair ego-motion cancellation + trajectory math — voxel
      downsample, normals, FPFH, batched-hypothesis RANSAC, 30-iteration
      colored ICP, transform chaining, Kabsch (pcm_tools.py:5-66,
@@ -98,16 +101,18 @@ def make_bench_clip(rng, t, h, w):
     )
 
 
-def timed(label, fn, iters=3):
-    """Per-call host-fetch median (async chains misreport through the
-    axon relay — CLAUDE.md)."""
-    import jax
-
-    jax.block_until_ready(fn())  # compile + warmup
+def timed(label, fn, iters=5):
+    """Median of per-call SCALAR host fetches.  fn must return a scalar
+    computed inside its jit: through the axon relay a bare
+    block_until_ready can ack before execution and report garbage
+    (CLAUDE.md), while a dependent scalar fetch cannot."""
+    out = fn()
+    assert np.asarray(out).size == 1, f"{label}: fn must return a scalar"
+    float(np.asarray(out).ravel()[0])  # compile + warmup
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        float(np.asarray(fn()).ravel()[0])
         ts.append(time.perf_counter() - t0)
     med = float(np.median(ts))
     print(f"  {label}: {med * 1e3:.1f} ms", file=sys.stderr)
@@ -131,9 +136,16 @@ def bench_registration(rng, t=16, h=384, w=384):
         )
     )
     res = ex(fj, mj, tj)
-    jax.block_until_ready(res.traj_quat)
     assert bool(res.ok), "bench clip rejected by pipeline guards"
-    return timed("registration+trajectory (16fr)", lambda: ex(fj, mj, tj))
+    exs = jax.jit(
+        lambda fr, ma, tr: jnp.sum(
+            extract_trajectory(
+                fr, ma, tr, jnp.asarray(t), f, pp, cfg=cfg,
+                max_keypoints=4096, num_hypotheses=2048,
+            ).traj_quat
+        )
+    )
+    return timed("registration+trajectory (16fr)", lambda: exs(fj, mj, tj))
 
 
 def bench_depth(rng, t=16):
@@ -154,7 +166,9 @@ def bench_depth(rng, t=16):
     frames = jnp.asarray(
         rng.normal(size=(t, 518, 518, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
-    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    fwd = jax.jit(
+        lambda p, x: jnp.sum(model.apply(p, x).astype(jnp.float32))
+    )
     return timed(f"depth ViT-L x{t} frames", lambda: fwd(params, frames))
 
 
@@ -188,7 +202,8 @@ def bench_detector(rng):
 
     def fwd(p, *a):
         out = model.apply(p, *a)
-        return out["logits"], out["pred_boxes"]
+        logits = jnp.where(jnp.isfinite(out["logits"]), out["logits"], 0.0)
+        return jnp.sum(logits) + jnp.sum(out["pred_boxes"])
 
     jfwd = jax.jit(fwd)
     return timed("grounding-dino 800^2", lambda: jfwd(params, *args))
@@ -208,10 +223,57 @@ def bench_sam(rng):
     params = jax.block_until_ready(
         jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
     )
-    fwd = jax.jit(
-        lambda p, i, b: model.apply(p, i, None, None, b)
+    def fwd(p, i, b):
+        out = model.apply(p, i, None, None, b)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return jnp.sum(leaf.astype(jnp.float32))
+
+    jfwd = jax.jit(fwd)
+    return timed("SAM ViT-H 1024^2", lambda: jfwd(params, img, boxes))
+
+
+def bench_learned_tracker(rng, t=16):
+    """The quality tracking path (reference runs learned SpaTracker,
+    predictor.py:37-78): our trained window tracker over 3 sliding
+    windows.  Returns None when the weight asset is absent."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from egoscaler_tpu.models.tracker import (
+        SpaTracker,
+        SpaTrackerPredictor,
+        TrackerConfig,
     )
-    return timed("SAM ViT-H 1024^2", lambda: fwd(params, img, boxes))
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "egoscaler_tpu", "assets", "tracker_occlusion.npz",
+    )
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        params = traverse_util.unflatten_dict(
+            {k: z[k] for k in z.files}, sep="/"
+        )
+    cfg = dataclasses.replace(TrackerConfig().tiny(), iters=4, window=8)
+    pred = SpaTrackerPredictor(SpaTracker(cfg), params)
+
+    h, w, q = 384, 512, 256
+    clip = jnp.asarray(rng.random((t, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray((1.0 + rng.random((t, h, w))).astype(np.float32))
+    queries = jnp.asarray(
+        np.stack(
+            [rng.uniform(100, 400, q), rng.uniform(100, 300, q),
+             1.0 + rng.random(q)], axis=1
+        ).astype(np.float32)
+    )
+
+    def run():
+        return jnp.sum(pred(clip, depths, queries))
+
+    return timed(f"learned tracker {t}fr x{q}pts", run)
 
 
 def bench_tracker(rng, t=16):
@@ -228,7 +290,7 @@ def bench_tracker(rng, t=16):
     mask = np.zeros((h, w), bool)
     mask[150:250, 200:320] = True
     pts, _ = mask_query_points(jnp.asarray(mask), q, jax.random.PRNGKey(0))
-    track = jax.jit(lambda c, d, p: lk_track_clip(c, d, p))
+    track = jax.jit(lambda c, d, p: jnp.sum(lk_track_clip(c, d, p)))
     return timed(f"LK tracker {t}fr x{q}pts", lambda: track(clip, depths, pts))
 
 
@@ -244,7 +306,9 @@ def main():
         t_depth = bench_depth(rng)
         t_det = bench_detector(rng)
         t_sam = bench_sam(rng)
-        t_trk = bench_tracker(rng)
+        t_trk = bench_learned_tracker(rng)
+        if t_trk is None:  # weight asset absent: weight-free LK fallback
+            t_trk = bench_tracker(rng)
         total = t_reg + t_depth + t_det + t_sam + t_trk
 
     clips_per_sec = 1.0 / total
