@@ -29,7 +29,6 @@ from flax import linen as nn
 from egoscaler_tpu.configs import LlamaConfig
 from egoscaler_tpu.ops.attention import (
     apply_rope,
-    make_causal_mask,
     rope_table,
     xla_attention,
 )
@@ -120,18 +119,19 @@ class LlamaAttention(nn.Module):
                     mask = mask & kv_mask[:, None, None, :t]
                 out = xla_attention(q, k_full, v_full, mask=mask)
         else:
-            # full-sequence training forward: XLA attention.  Measured on
-            # v5e at S=704 under remat: XLA 34.9 samples/s vs Pallas
-            # flash fwd+bwd 21.0 (remat re-runs the flash fwd kernel on
-            # top of the two bwd kernels; XLA fuses the recompute).
-            # Standalone (no remat) flash fwd+bwd is 1.05x XLA at S=704
-            # and 1.43x at S=4096 with O(S) memory — switch to
-            # causal_attention_with_kv_mask for long-context configs.
-            t = s
-            mask = make_causal_mask(s, s)[None, None]
-            if kv_mask is not None:
-                mask = mask & kv_mask[:, None, None, :t]
-            out = xla_attention(q, expand_kv(k), expand_kv(v), mask=mask)
+            # full-sequence training forward: Pallas flash (fwd + fused
+            # bwd pair) via the dispatcher.  Honest per-step timing at
+            # 1.1B bs8 S=678 under remat: flash 323 ms vs XLA 338 ms
+            # (the earlier "XLA wins" readings predate the bf16-matmul +
+            # head-packed kernel and used relay-flaky timing); flash also
+            # keeps O(S) memory for long-context configs.
+            from egoscaler_tpu.ops.attention import (
+                causal_attention_with_kv_mask,
+            )
+
+            out = causal_attention_with_kv_mask(
+                q, expand_kv(k), expand_kv(v), kv_mask
+            )
         out = out.reshape(b, s, h * hd)
         out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
         return out, cache_k, cache_v

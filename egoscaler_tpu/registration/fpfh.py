@@ -68,9 +68,24 @@ def compute_fpfh(
     mask: jax.Array,
     radius: float,
     max_nn: int = 100,
+    neighbors=None,
 ) -> jax.Array:
-    """(M,3) points+normals+mask -> (M, 33) FPFH features."""
-    idx, nvalid = hybrid_knn(points, mask, radius, max_nn, include_self=False)
+    """(M,3) points+normals+mask -> (M, 33) FPFH features.
+
+    `neighbors` is an optional precomputed self-INCLUSIVE
+    (indices, dist2) table with >= max_nn+1 columns; the self column
+    (distance 0, sorted first) is dropped to recover the
+    include_self=False search this function needs."""
+    if neighbors is not None:
+        idx, dist2 = neighbors
+        idx = idx[:, 1 : max_nn + 1]
+        nvalid = (
+            dist2[:, 1 : max_nn + 1] <= radius * radius
+        ) & mask[:, None]
+    else:
+        idx, nvalid = hybrid_knn(
+            points, mask, radius, max_nn, include_self=False
+        )
     q = points[idx]          # (M, K, 3)
     nq = normals[idx]
     p = points[:, None, :]

@@ -25,19 +25,17 @@ def _pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.maximum(d, 0.0)
 
 
-def hybrid_knn(
+def knn_table(
     points: jax.Array,
     mask: jax.Array,
-    radius: float,
     max_nn: int,
     include_self: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(M,3)+mask -> (M, max_nn) neighbor indices + bool validity.
-
-    Neighbors are the up-to-max_nn nearest valid points within `radius`
-    of each point (including the point itself when include_self, matching
-    Open3D's search semantics for normal estimation).
-    """
+    """(M,3)+mask -> ((M, max_nn) ascending neighbor indices,
+    (M, max_nn) squared distances).  Radius-free: callers derive any
+    hybrid search with radius r as the first k columns masked by
+    dist2 <= r^2 — one distance matrix + one sort serves every consumer
+    (prepare_cloud shares it between normals and FPFH)."""
     d2 = _pairwise_sqdist(points, points)
     m = points.shape[0]
     if not include_self:
@@ -51,8 +49,25 @@ def hybrid_knn(
     else:
         neg, idx = jax.lax.top_k(-d2, max_nn)
         dist2 = -neg
+    return idx.astype(jnp.int32), dist2
+
+
+def hybrid_knn(
+    points: jax.Array,
+    mask: jax.Array,
+    radius: float,
+    max_nn: int,
+    include_self: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """(M,3)+mask -> (M, max_nn) neighbor indices + bool validity.
+
+    Neighbors are the up-to-max_nn nearest valid points within `radius`
+    of each point (including the point itself when include_self, matching
+    Open3D's search semantics for normal estimation).
+    """
+    idx, dist2 = knn_table(points, mask, max_nn, include_self)
     valid = (dist2 <= radius * radius) & mask[:, None]
-    return idx.astype(jnp.int32), valid
+    return idx, valid
 
 
 def cross_knn(

@@ -22,9 +22,19 @@ def estimate_normals(
     mask: jax.Array,
     radius: float,
     max_nn: int = 30,
+    neighbors=None,
 ) -> jax.Array:
-    """(M, 3) + mask -> (M, 3) unit normals (garbage on masked rows)."""
-    idx, nvalid = hybrid_knn(points, mask, radius, max_nn)
+    """(M, 3) + mask -> (M, 3) unit normals (garbage on masked rows).
+
+    `neighbors` is an optional precomputed self-inclusive
+    (indices, dist2) table (neighbors.knn_table) with >= max_nn columns
+    — prepare_cloud shares one table between normals and FPFH."""
+    if neighbors is not None:
+        idx, dist2 = neighbors
+        idx = idx[:, :max_nn]
+        nvalid = (dist2[:, :max_nn] <= radius * radius) & mask[:, None]
+    else:
+        idx, nvalid = hybrid_knn(points, mask, radius, max_nn)
     neigh = points[idx]  # (M, K, 3)
     w = nvalid.astype(points.dtype)[..., None]
     cnt = jnp.sum(w, axis=1).clip(1.0)

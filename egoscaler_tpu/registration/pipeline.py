@@ -56,11 +56,22 @@ def prepare_cloud(
     pts, cols, m = downsample(
         points, colors, mask, cfg.voxel_size, max_keypoints
     )
+    # ONE self-inclusive kNN table serves both consumers (ascending, so
+    # the first normal_max_nn columns radius-masked at 2*voxel equal the
+    # normals' own hybrid search, and columns 1..fpfh_max_nn radius-
+    # masked at 5*voxel equal FPFH's self-exclusive search) — the M x M
+    # distance pass + sort was the dominant prep cost, done twice before.
+    from egoscaler_tpu.registration.neighbors import knn_table
+
+    k = max(cfg.fpfh_max_nn + 1, cfg.normal_max_nn)
+    neighbors = knn_table(pts, m, k, include_self=True)
     normals = estimate_normals(
-        pts, m, radius=cfg.voxel_size * 2.0, max_nn=cfg.normal_max_nn
+        pts, m, radius=cfg.voxel_size * 2.0, max_nn=cfg.normal_max_nn,
+        neighbors=neighbors,
     )
     fpfh = compute_fpfh(
-        pts, normals, m, radius=cfg.voxel_size * 5.0, max_nn=cfg.fpfh_max_nn
+        pts, normals, m, radius=cfg.voxel_size * 5.0, max_nn=cfg.fpfh_max_nn,
+        neighbors=neighbors,
     )
     return pts, cols, normals, fpfh, m
 
