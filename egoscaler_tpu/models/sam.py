@@ -126,6 +126,7 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos: jax.Array) -> jax.Array:
 class SamVisionAttention(nn.Module):
     cfg: SamVisionCfg
     input_size: Tuple[int, int]
+    is_global: bool = False
 
     @nn.compact
     def __call__(self, x):  # (B, H, W, C)
@@ -140,10 +141,6 @@ class SamVisionAttention(nn.Module):
             qkv[:, :, 2].transpose(0, 2, 1, 3),
         )  # (B, nh, HW, hd)
         scale = hd ** -0.5
-        attn = jnp.einsum(
-            "bnqd,bnkd->bnqk", q * scale, k,
-            preferred_element_type=jnp.float32,
-        )
 
         rel_pos_h = self.param(
             "rel_pos_h", nn.initializers.zeros,
@@ -158,14 +155,37 @@ class SamVisionAttention(nn.Module):
         rq = q.reshape(b, nh, h, w, hd)
         rel_h = jnp.einsum("bnhwc,hkc->bnhwk", rq, rh)
         rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
-        bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B,nh,h,w,h,w)
-        attn = attn + bias.reshape(b, nh, h * w, h * w)
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
-        out = jnp.einsum(
-            "bnqk,bnkd->bnqd", attn, v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
+        s_tok = h * w
+        blk_q = min(512, s_tok)
+        blk_kv = max(min(512 // w * w if w <= 512 else w, s_tok), w)
+        if self.is_global and s_tok % blk_q == 0 and s_tok % blk_kv == 0:
+            # flash kernel with the bias tile rebuilt in VMEM — the
+            # (B, nh, S, S) score/bias/softmax buffers of the 4 global
+            # ViT-H blocks are ~1 GB each at 1024^2 and never hit HBM
+            from egoscaler_tpu.ops.sam_attention import sam_global_attention
+
+            out = sam_global_attention(
+                q, k, v,
+                rel_h.reshape(b, nh, h * w, h),
+                rel_w.reshape(b, nh, h * w, w),
+                (h, w), scale,
+            )
+        else:
+            attn = jnp.einsum(
+                "bnqd,bnkd->bnqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B,nh,h,w,h,w)
+            attn = attn + bias.reshape(b, nh, h * w, h * w)
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32), axis=-1
+            ).astype(q.dtype)
+            out = jnp.einsum(
+                "bnqk,bnkd->bnqd", attn, v,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, h, w, c)
         return nn.Dense(c, name="proj")(out)
 
 
@@ -206,7 +226,10 @@ class SamVisionLayer(nn.Module):
             in_size = (self.window_size, self.window_size)
         else:
             in_size = (h.shape[1], h.shape[2])
-        h = SamVisionAttention(cfg, input_size=in_size, name="attn")(h)
+        h = SamVisionAttention(
+            cfg, input_size=in_size, is_global=self.window_size == 0,
+            name="attn",
+        )(h)
         if self.window_size > 0:
             h = window_unpartition(h, self.window_size, padded, (hh, ww))
         x = shortcut + h

@@ -86,3 +86,16 @@ def test_backward_with_padding_and_offset(rng):
     gr = jax.grad(ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+@pytest.mark.parametrize("h", [3, 4])
+def test_forward_parity_head_packing(rng, h):
+    # h=4 exercises the 4-head-packed program, h=3 the unpacked fallback
+    q, k, v = make_qkv(rng, h=h)
+    mask = jnp.asarray(rng.random((2, 96)) > 0.2)
+    out = flash_attention(q, k, v, kv_mask=mask, **BLOCKS)
+    ref = _xla_reference(
+        q, k, v, mask.astype(jnp.int32)[:, None, :],
+        causal=False, q_offset=0, scale=float(32 ** -0.5),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
