@@ -64,8 +64,8 @@ def make_parser():
     return p
 
 
-def main_train():
-    args = make_parser().parse_args()
+def main_train(argv=None):
+    args = make_parser().parse_args(argv)
     from egoscaler_tpu.training.dataset import TrajectoryDataset
     from egoscaler_tpu.training.train_loop import train
 
@@ -84,11 +84,11 @@ def main_train():
           resume=args.resume, eval_batches=args.eval_batches)
 
 
-def main_evaluate():
+def main_evaluate(argv=None):
     p = make_parser()
     p.add_argument("--split", default="test")
     p.add_argument("--checkpoint_dir", default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
     import jax
 
     from egoscaler_tpu.models.pointllm import TrajPointLLM
@@ -123,5 +123,21 @@ def main_evaluate():
     print(summary)
 
 
+def main():
+    """`python -m egoscaler_tpu.training.cli {train,evaluate} ...` —
+    the reference's train.py / evaluate.py pair behind one dispatcher."""
+    import sys
+
+    argv = sys.argv[1:]
+    cmd = argv[0] if argv and not argv[0].startswith("-") else "train"
+    rest = argv[1:] if argv and not argv[0].startswith("-") else argv
+    if cmd == "train":
+        main_train(rest)
+    elif cmd == "evaluate":
+        main_evaluate(rest)
+    else:
+        raise SystemExit(f"unknown command {cmd!r}; use train or evaluate")
+
+
 if __name__ == "__main__":
-    main_train()
+    main()
