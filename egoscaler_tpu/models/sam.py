@@ -157,9 +157,14 @@ class SamVisionAttention(nn.Module):
         rel_w = jnp.einsum("bnhwc,wkc->bnhwk", rq, rw)
 
         s_tok = h * w
-        blk_q = min(512, s_tok)
+        blk_q = min(128, s_tok)
         blk_kv = max(min(512 // w * w if w <= 512 else w, s_tok), w)
-        if self.is_global and s_tok % blk_q == 0 and s_tok % blk_kv == 0:
+        kernel_ok = (
+            s_tok % blk_q == 0
+            and s_tok % blk_kv == 0
+            and (jax.default_backend() != "tpu" or blk_kv % 128 == 0)
+        )
+        if self.is_global and kernel_ok:
             # flash kernel with the bias tile rebuilt in VMEM — the
             # (B, nh, S, S) score/bias/softmax buffers of the 4 global
             # ViT-H blocks are ~1 GB each at 1024^2 and never hit HBM

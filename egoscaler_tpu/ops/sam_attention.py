@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
 
@@ -33,6 +34,8 @@ def _sam_flash_kernel(
     v_ref,      # (1, 1, T, dp)
     relh_ref,   # (1, 1, bq, gh)  bias vs target row
     relw_ref,   # (1, 1, bq, gw)  bias vs target col
+    eh_ref,     # (gh, T) static one-hot expansion: 1 where t // gw == i
+    ew_ref,     # (gw, T) static one-hot expansion: 1 where t %  gw == j
     o_ref,      # (1, 1, bq, dp)
     *,
     block_kv: int,
@@ -42,48 +45,51 @@ def _sam_flash_kernel(
 ):
     bq = q_ref.shape[2]
     dp = q_ref.shape[3]
-    rows_per_blk = block_kv // grid_w
     num_kv_blocks = kv_len // block_kv
 
     q = q_ref[0, 0, :, :]
+    relh = relh_ref[0, 0, :, :]  # (bq, gh)
     relw = relw_ref[0, 0, :, :]  # (bq, gw)
 
-    def body(ki, carry):
-        m_prev, l_prev, acc = carry
-        k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
-        v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+    def scoped(bias_scratch):
+        # full decomposed-bias rows for this q block, built ONCE:
+        # bias[s, th * gw + tw] = relh[s, th] + relw[s, tw], expanded
+        # with two static one-hot matmuls (Mosaic supports neither
+        # cross-lane reshapes nor lane gathers).  The per-KV-block tile
+        # is then a pl.ds slice of this (bq, S) VMEM scratch at
+        # block_kv (lane-multiple) granularity.
+        bias_scratch[:, :] = jnp.dot(
+            relh, eh_ref[:, :], preferred_element_type=jnp.float32
+        ) + jnp.dot(relw, ew_ref[:, :], preferred_element_type=jnp.float32)
 
-        # decomposed bias tile: target index t = th * grid_w + tw
-        relh_blk = relh_ref[
-            0, 0, :, pl.ds(ki * rows_per_blk, rows_per_blk)
-        ]  # (bq, rows_per_blk)
-        bias = (
-            jnp.broadcast_to(
-                relh_blk[:, :, None], (bq, rows_per_blk, grid_w)
-            )
-            + jnp.broadcast_to(
-                relw[:, None, :], (bq, rows_per_blk, grid_w)
-            )
-        ).reshape(bq, block_kv)
-        s = s + bias
+        def body(ki, carry):
+            m_prev, l_prev, acc = carry
+            k_blk = k_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
+            v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
+            s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+            s = s + bias_scratch[:, pl.ds(ki * block_kv, block_kv)]
 
-        m_cur = jnp.max(s, axis=-1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1)
-        acc = acc * alpha[:, None] + jnp.dot(
-            p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32
+            m_cur = jnp.max(s, axis=-1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new[:, None])
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1)
+            acc = acc * alpha[:, None] + jnp.dot(
+                p.astype(v_blk.dtype), v_blk,
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc
+
+        m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
+        l0 = jnp.zeros((bq,), jnp.float32)
+        acc0 = jnp.zeros((bq, dp), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
+        o_ref[0, 0, :, :] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(
+            o_ref.dtype
         )
-        return m_new, l_new, acc
 
-    m0 = jnp.full((bq,), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
-    acc0 = jnp.zeros((bq, dp), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kv_blocks, body, (m0, l0, acc0))
-    o_ref[0, 0, :, :] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(
-        o_ref.dtype
+    pl.run_scoped(
+        scoped, bias_scratch=pltpu.VMEM((bq, kv_len), jnp.float32)
     )
 
 
@@ -109,12 +115,24 @@ def sam_global_attention(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
-    block_q = min(512, s)
+    # block_q 128 keeps the per-program f32 bias_full (block_q x S) plus
+    # the VMEM-resident f32 KV inside the 16 MB budget at S=4096
+    block_q = min(128, s)
     # kv blocks must cover whole token rows so the bias tile is a
-    # (rows x gw) rectangle
+    # (rows x gw) rectangle; on real hardware the slice offset must also
+    # be a lane multiple (128)
     block_kv = min(512 // gw * gw if gw <= 512 else gw, s)
     block_kv = max(block_kv, gw)
     assert s % block_q == 0 and s % block_kv == 0, (s, block_q, block_kv)
+    assert _interpret() or block_kv % 128 == 0, (
+        f"block_kv {block_kv} must be a 128 multiple on TPU"
+    )
+
+    import numpy as np
+
+    t_ids = np.arange(s)
+    eh = (t_ids[None, :] // gw == np.arange(gh)[:, None]).astype(np.float32)
+    ew = (t_ids[None, :] % gw == np.arange(gw)[:, None]).astype(np.float32)
 
     kernel = functools.partial(
         _sam_flash_kernel,
@@ -132,11 +150,17 @@ def sam_global_attention(
             pl.BlockSpec((1, 1, s, dp), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, block_q, gh), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, gw), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((gh, s), lambda bi, hi, qi: (0, 0)),
+            pl.BlockSpec((gw, s), lambda bi, hi, qi: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, dp), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, s, dp), q.dtype),
         interpret=_interpret(),
-    )(q, k, v, rel_h.astype(jnp.float32), rel_w.astype(jnp.float32))
+    )(
+        q, k, v,
+        rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
+        jnp.asarray(eh), jnp.asarray(ew),
+    )
     return out[..., :d]
