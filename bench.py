@@ -34,6 +34,12 @@ clips/s; we use 0.05 (the favorable end) as the denominator.  Open3D is
 not installed on this host, so the denominator remains a documented
 estimate — but numerator and denominator now cover the SAME pipeline.
 
+The headline number is the CHAINED clip time: all five stage programs
+dispatched back-to-back and a single jitted reduction over their
+outputs fetched once (a dependent scalar, so the relay cannot ack
+before every stage has executed).  Per-stage medians — each paying the
+~28 ms per-call fetch overhead — are printed on stderr as a breakdown.
+
 Set EGOSCALER_BENCH_FAST=1 to bench only the registration/trajectory
 program (stage 5) for quick iteration.
 """
@@ -101,6 +107,30 @@ def make_bench_clip(rng, t, h, w):
     )
 
 
+def timed_chain(label, fns, iters=5):
+    """Median wall time for one CLIP: every stage program dispatched
+    back-to-back (async), then ONE jitted reduction over all stage
+    outputs fetched as a scalar.  The scalar VALUE depends on every
+    stage's output, so the relay cannot ack before all stages execute
+    (the bare block_until_ready early-ack hazard, CLAUDE.md) — this is
+    the honest single-fetch latency of the full pipeline, paying the
+    ~28 ms relay fetch overhead once instead of once per stage."""
+    import jax
+    import jax.numpy as jnp
+
+    reduce_fn = jax.jit(lambda *xs: sum((jnp.sum(x) for x in xs), jnp.float32(0)))
+    float(np.asarray(reduce_fn(*[f() for f in fns])).ravel()[0])  # warmup
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = [f() for f in fns]
+        float(np.asarray(reduce_fn(*outs)).ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    print(f"  {label}: {med * 1e3:.1f} ms", file=sys.stderr)
+    return med
+
+
 def timed(label, fn, iters=5):
     """Median of per-call SCALAR host fetches.  fn must return a scalar
     computed inside its jit: through the axon relay a bare
@@ -145,7 +175,7 @@ def bench_registration(rng, t=16, h=384, w=384):
             ).traj_quat
         )
     )
-    return timed("registration+trajectory (16fr)", lambda: exs(fj, mj, tj))
+    return "registration+trajectory (16fr)", lambda: exs(fj, mj, tj)
 
 
 def bench_depth(rng, t=16):
@@ -169,7 +199,7 @@ def bench_depth(rng, t=16):
     fwd = jax.jit(
         lambda p, x: jnp.sum(model.apply(p, x).astype(jnp.float32))
     )
-    return timed(f"depth ViT-L x{t} frames", lambda: fwd(params, frames))
+    return f"depth ViT-L x{t} frames", lambda: fwd(params, frames)
 
 
 def bench_detector(rng):
@@ -206,7 +236,7 @@ def bench_detector(rng):
         return jnp.sum(logits) + jnp.sum(out["pred_boxes"])
 
     jfwd = jax.jit(fwd)
-    return timed("grounding-dino 800^2", lambda: jfwd(params, *args))
+    return "grounding-dino 800^2", lambda: jfwd(params, *args)
 
 
 def bench_sam(rng):
@@ -229,7 +259,7 @@ def bench_sam(rng):
         return jnp.sum(leaf.astype(jnp.float32))
 
     jfwd = jax.jit(fwd)
-    return timed("SAM ViT-H 1024^2", lambda: jfwd(params, img, boxes))
+    return "SAM ViT-H 1024^2", lambda: jfwd(params, img, boxes)
 
 
 def bench_learned_tracker(rng, t=16):
@@ -273,7 +303,7 @@ def bench_learned_tracker(rng, t=16):
     def run():
         return jnp.sum(pred(clip, depths, queries))
 
-    return timed(f"learned tracker {t}fr x{q}pts", run)
+    return f"learned tracker {t}fr x{q}pts", run
 
 
 def bench_tracker(rng, t=16):
@@ -291,7 +321,7 @@ def bench_tracker(rng, t=16):
     mask[150:250, 200:320] = True
     pts, _ = mask_query_points(jnp.asarray(mask), q, jax.random.PRNGKey(0))
     track = jax.jit(lambda c, d, p: jnp.sum(lk_track_clip(c, d, p)))
-    return timed(f"LK tracker {t}fr x{q}pts", lambda: track(clip, depths, pts))
+    return f"LK tracker {t}fr x{q}pts", lambda: track(clip, depths, pts)
 
 
 def main():
@@ -299,17 +329,22 @@ def main():
     fast = os.environ.get("EGOSCALER_BENCH_FAST") == "1"
 
     print("bench stages:", file=sys.stderr)
-    t_reg = bench_registration(rng)
+    stages = [bench_registration(rng)]
     if fast:
-        total = t_reg
+        total = timed(*stages[0])
     else:
-        t_depth = bench_depth(rng)
-        t_det = bench_detector(rng)
-        t_sam = bench_sam(rng)
-        t_trk = bench_learned_tracker(rng)
-        if t_trk is None:  # weight asset absent: weight-free LK fallback
-            t_trk = bench_tracker(rng)
-        total = t_reg + t_depth + t_det + t_sam + t_trk
+        stages.append(bench_depth(rng))
+        stages.append(bench_detector(rng))
+        stages.append(bench_sam(rng))
+        trk = bench_learned_tracker(rng)
+        if trk is None:  # weight asset absent: weight-free LK fallback
+            trk = bench_tracker(rng)
+        stages.append(trk)
+        for label, run in stages:  # per-stage breakdown (stderr only)
+            timed(label, run, iters=3)
+        total = timed_chain(
+            "FULL CLIP chained (one fetch)", [run for _, run in stages]
+        )
 
     clips_per_sec = 1.0 / total
     baseline = 0.05  # reference clips/s estimate (module docstring)

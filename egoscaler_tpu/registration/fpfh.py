@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from egoscaler_tpu.registration.neighbors import hybrid_knn
+from egoscaler_tpu.registration.neighbors import _pairwise_sqdist, hybrid_knn
 
 _NBINS = 11
 
@@ -100,9 +100,35 @@ def compute_fpfh(
     h_t = jnp.einsum("mk,mkb->mb", w, _hist_onehot(theta, -jnp.pi, jnp.pi))
     spfh = jnp.concatenate([h_a, h_p, h_t], axis=-1) / cnt[:, None] * 100.0
 
-    # FPFH aggregation: weighted neighbor SPFH by inverse distance
-    inv_d = jnp.where(nvalid, 1.0 / jnp.maximum(dist, 1e-6), 0.0)
-    neigh_spfh = spfh[idx]  # (M, K, 33)
-    agg = jnp.einsum("mk,mkf->mf", inv_d, neigh_spfh) / cnt[:, None]
+    # FPFH aggregation: weighted neighbor SPFH by inverse distance.
+    # Instead of gathering (M, K, 33) neighbor rows — 54 MB of scattered
+    # 132-byte row gathers at M=4096, the profile hot spot — build the
+    # same weights DENSELY from the pairwise distance matrix and let the
+    # MXU do one (M,M)x(M,33) matmul.  The per-row cap at the K-th
+    # neighbor distance reproduces the top-K table semantics exactly.
+    d2full = _pairwise_sqdist(points, points)
+    # the matmul-identity diagonal is ~1e-6, not exactly 0 (float
+    # cancellation): exclude self explicitly, not by an epsilon test
+    m = points.shape[0]
+    not_self = ~jnp.eye(m, dtype=bool)
+    kth = jnp.max(jnp.where(nvalid, dist * dist, 0.0), axis=-1)  # (M,)
+    cap2 = jnp.minimum(kth, radius * radius)
+    # +1e-5 absolute margin: the recomputed d2full carries ~1e-6
+    # cancellation noise, so an exact <= cap would drop boundary
+    # neighbors that ARE in the table set; a superset (the odd tie
+    # beyond the K-th) perturbs the histogram far less
+    w_dense = (
+        (d2full <= cap2[:, None] + 1e-5)
+        & not_self
+        & mask[None, :]
+        & mask[:, None]
+    )
+    inv_dense = jnp.where(
+        w_dense, jax.lax.rsqrt(jnp.maximum(d2full, 1e-12)), 0.0
+    )
+    agg = (
+        jnp.matmul(inv_dense, spfh, precision=jax.lax.Precision.HIGHEST)
+        / cnt[:, None]
+    )
     fpfh = spfh + agg
     return jnp.where(mask[:, None], fpfh, 0.0)
