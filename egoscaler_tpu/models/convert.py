@@ -263,7 +263,15 @@ def convert_depth_anything(sd: Dict[str, np.ndarray], depth: int = 24) -> dict:
         t = f"{p}/blocks_{i}"
         _layernorm(sd, f"{b}.norm1", out, f"{t}/norm1")
         _layernorm(sd, f"{b}.norm2", out, f"{t}/norm2")
-        _linear(sd, f"{b}.attn.qkv", out, f"{t}/attn_qkv")
+        # torch packs qkv as one (3*dim, dim) weight; the flax DinoBlock
+        # runs three separate projections (avoids the strided slice of a
+        # (B,S,3,H,D) pack on TPU), so split the rows here.
+        qkv_w = sd[f"{b}.attn.qkv.weight"]
+        qkv_b = sd[f"{b}.attn.qkv.bias"]
+        dim = qkv_w.shape[0] // 3
+        for j, nm in enumerate(("attn_q", "attn_k", "attn_v")):
+            out[f"params/{t}/{nm}/kernel"] = qkv_w[j * dim : (j + 1) * dim].T
+            out[f"params/{t}/{nm}/bias"] = qkv_b[j * dim : (j + 1) * dim]
         _linear(sd, f"{b}.attn.proj", out, f"{t}/attn_proj")
         _linear(sd, f"{b}.mlp.fc1", out, f"{t}/mlp_fc1")
         _linear(sd, f"{b}.mlp.fc2", out, f"{t}/mlp_fc2")

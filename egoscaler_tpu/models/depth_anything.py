@@ -75,9 +75,13 @@ class DinoBlock(nn.Module):
         b, s, _ = x.shape
         hd = self.dim // self.num_heads
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        qkv = nn.Dense(3 * self.dim, name="attn_qkv")(h)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # three matmuls instead of one packed qkv projection: identical
+        # math (the torch qkv weight is split row-wise in the converter)
+        # but q/k/v are written contiguous, skipping the extra HBM pass
+        # XLA spends slicing a (B,S,3,H,D) pack (~19 ms / 24 layers)
+        q = nn.Dense(self.dim, name="attn_q")(h).reshape(b, s, self.num_heads, hd)
+        k = nn.Dense(self.dim, name="attn_k")(h).reshape(b, s, self.num_heads, hd)
+        v = nn.Dense(self.dim, name="attn_v")(h).reshape(b, s, self.num_heads, hd)
         from egoscaler_tpu.ops.attention import dot_product_attention
 
         a = dot_product_attention(q, k, v).reshape(b, s, self.dim)
@@ -148,14 +152,37 @@ class DinoV2(nn.Module):
         return outs, (ph, pw)
 
 
+def _interp_matrix(n_in: int, n_out: int):
+    """(n_out, n_in) bilinear align-corners interpolation matrix
+    (2 non-zeros per row)."""
+    import numpy as np
+
+    ys = np.linspace(0.0, n_in - 1.0, n_out)
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, n_in - 1)
+    y1 = np.minimum(y0 + 1, n_in - 1)
+    dy = (ys - y0).astype(np.float32)
+    m = np.zeros((n_out, n_in), np.float32)
+    m[np.arange(n_out), y0] += 1.0 - dy
+    m[np.arange(n_out), y1] += dy
+    return m
+
+
 def _resize_bilinear_ac(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     """Bilinear resize with align_corners=True (torch F.interpolate) for
     NHWC tensors — jax.image.resize uses half-pixel centers, so sample
     manually.  Separable (rows then cols): 2 gathers + lerps instead of
     4 full-size gathers, halving HBM traffic on the big DPT-head
-    upsamples."""
+    upsamples.  In bf16 (the TPU inference path) the lerp is instead
+    expressed as two constant interpolation-matrix matmuls: identical
+    weights, but the MXU streams them at full HBM bandwidth where the
+    row/column gathers run at the ~120 GB/s elementwise-copy rate."""
     b, h, w, c = x.shape
     oh, ow = size
+    if x.dtype == jnp.bfloat16:
+        my = jnp.asarray(_interp_matrix(h, oh), x.dtype)
+        mx = jnp.asarray(_interp_matrix(w, ow), x.dtype)
+        rows = jnp.einsum("ph,bhwc->bpwc", my, x)
+        return jnp.einsum("qw,bpwc->bpqc", mx, rows)
     ys = jnp.linspace(0.0, h - 1.0, oh)
     xs = jnp.linspace(0.0, w - 1.0, ow)
     y0 = jnp.floor(ys).astype(jnp.int32).clip(0, h - 1)
