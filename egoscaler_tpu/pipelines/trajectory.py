@@ -122,11 +122,13 @@ def extract_trajectory(
             principal_point / cloud_stride,
             bbox_mask=bmask, d_thres=cfg.depth_threshold,
         )
-        return prepare_cloud(pts, cols, valid, cfg.pcm, max_keypoints)
+        return prepare_cloud(
+            pts, cols, valid, cfg.pcm, max_keypoints, return_neighbors=True
+        )
 
     bs = None if map_batch <= 1 else min(map_batch, t_max)
     clouds = jax.lax.map(prep, (rgbd_seq, bbox_masks), batch_size=bs)
-    kp_pts, kp_cols, kp_normals, kp_fpfh, kp_mask = clouds
+    kp_pts, kp_cols, kp_normals, kp_fpfh, kp_mask, (kp_nb_idx, kp_nb_d2) = clouds
 
     # ---- consecutive-pair registration (7_get:258-282) -----------------
     def register(i):
@@ -152,6 +154,7 @@ def extract_trajectory(
             distance_threshold=cfg.pcm.voxel_size * cfg.pcm.icp_distance_mult,
             gradient_radius=cfg.pcm.voxel_size * 2.0,
             max_iterations=cfg.pcm.icp_max_iters,
+            target_neighbors=(kp_nb_idx[i], kp_nb_d2[i]),
         )
         return icp.transformation, icp.fitness
 

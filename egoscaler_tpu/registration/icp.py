@@ -52,12 +52,26 @@ def color_gradients(
     mask: jax.Array,
     radius: float,
     max_nn: int = 30,
+    neighbors=None,
 ) -> jax.Array:
     """Per-point tangent-plane color gradient d (M, 3): least squares of
     c_q - c_p ~= d . (q' - p) with q' the tangent-plane projection of q,
-    constrained d . n = 0 (Park et al. eq. 9; Open3D InitializePointCloudForColoredICP)."""
+    constrained d . n = 0 (Park et al. eq. 9; Open3D InitializePointCloudForColoredICP).
+
+    `neighbors`: optional precomputed self-INCLUSIVE ascending kNN table
+    (idx, dist2) with >= max_nn + 1 columns (prepare_cloud's shared
+    table); columns 1..max_nn radius-masked equal the self-exclusive
+    hybrid search, skipping a fresh M x M distance pass per ICP pair."""
     inten = _intensity(colors)
-    idx, nvalid = hybrid_knn(points, mask, radius, max_nn, include_self=False)
+    if neighbors is not None:
+        nb_idx, nb_d2 = neighbors
+        assert nb_idx.shape[1] >= max_nn + 1, (
+            f"neighbor table too narrow: {nb_idx.shape[1]} < {max_nn + 1}"
+        )
+        idx = nb_idx[:, 1 : max_nn + 1]
+        nvalid = (nb_d2[:, 1 : max_nn + 1] <= radius * radius) & mask[:, None]
+    else:
+        idx, nvalid = hybrid_knn(points, mask, radius, max_nn, include_self=False)
     q = points[idx]                       # (M, K, 3)
     cq = inten[idx]
     p = points[:, None, :]
@@ -94,10 +108,15 @@ def colored_icp(
     lambda_geometric: float = _LAMBDA_GEOMETRIC,
     relative_fitness: float = 1e-6,
     relative_rmse: float = 1e-6,
+    target_neighbors=None,
 ) -> ICPResult:
-    """Refine init_transform (source->target).  All shapes static."""
+    """Refine init_transform (source->target).  All shapes static.
+
+    `target_neighbors`: optional (idx, dist2) self-inclusive kNN table of
+    target_pts (see color_gradients) — reuses prepare_cloud's table."""
     tgt_grad = color_gradients(
-        target_pts, target_normals, target_cols, target_mask, gradient_radius
+        target_pts, target_normals, target_cols, target_mask, gradient_radius,
+        neighbors=target_neighbors,
     )
     src_inten = _intensity(source_cols)
     tgt_inten = _intensity(target_cols)

@@ -41,6 +41,7 @@ def prepare_cloud(
     cfg: PCMConfig = PCMConfig(),
     max_keypoints: int = 4096,
     voxel_method: str = "sort",
+    return_neighbors: bool = False,
 ):
     """prepare_dataset equivalent (pcm_tools.py:25-28): keypoints via
     voxel downsample, normals (radius 2*voxel), FPFH (radius 5*voxel).
@@ -73,6 +74,10 @@ def prepare_cloud(
         pts, normals, m, radius=cfg.voxel_size * 5.0, max_nn=cfg.fpfh_max_nn,
         neighbors=neighbors,
     )
+    if return_neighbors:
+        # the same table serves colored ICP's color-gradient search
+        # (k >= 30 + 1 self column; see color_gradients)
+        return pts, cols, normals, fpfh, m, neighbors
     return pts, cols, normals, fpfh, m
 
 
@@ -94,8 +99,9 @@ def register_pair(
     sp, sc, sn, sf, sm = prepare_cloud(
         source_points, source_colors, source_mask, cfg, max_keypoints
     )
-    tp, tc, tn, tf, tm = prepare_cloud(
-        target_points, target_colors, target_mask, cfg, max_keypoints
+    tp, tc, tn, tf, tm, tnb = prepare_cloud(
+        target_points, target_colors, target_mask, cfg, max_keypoints,
+        return_neighbors=True,
     )
 
     corr, corr_valid = match_features(sf, sm, tf, tm)
@@ -112,5 +118,6 @@ def register_pair(
         distance_threshold=cfg.voxel_size * cfg.icp_distance_mult,
         gradient_radius=cfg.voxel_size * 2.0,
         max_iterations=cfg.icp_max_iters,
+        target_neighbors=tnb,
     )
     return RegistrationResult(icp.transformation, icp.fitness, icp.inlier_rmse)

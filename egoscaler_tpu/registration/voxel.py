@@ -27,28 +27,87 @@ def voxel_downsample(
     mask: jax.Array,
     voxel_size: float,
     max_out: int,
+    packed: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(N,3) points (+colors) + mask -> (max_out, 3) voxel means + mask.
 
     Points are binned at floor(p / voxel); all valid points in a bin are
     averaged (Open3D semantics).  Bins beyond max_out are dropped
     (deterministically, in key order).
+
+    `packed` (default): the sort — the dominant cost of the whole
+    registration prep — carries 3 int32 columns instead of 8 f32:
+    the voxel key (which already encodes the integer voxel coords),
+    the 3x10-bit in-voxel fractions, and rgb888.  Reconstruction error
+    is <= voxel/1024 per axis (0.1 mm at voxel 0.1 m) and <= 1/255 in
+    color (exact for uint8-sourced images); both are far below
+    registration tolerances.  `packed=False` keeps the exact f32
+    payload sort.
     """
     n = points.shape[0]
     origin = jnp.min(
         jnp.where(mask[:, None], points, jnp.inf), axis=0
     )  # local origin keeps coords positive
-    coords = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    scaled = (points - origin) / voxel_size
+    coords = jnp.floor(scaled).astype(jnp.int32)
     coords = jnp.clip(coords, 0, _SPAN - 1)
     key = (coords[:, 0] << (2 * _BITS)) | (coords[:, 1] << _BITS) | coords[:, 2]
     key = jnp.where(mask, key, _INVALID_KEY)
 
-    # Two sort strategies, picked by size (both measured on v5e-lite):
-    #  * payload-carrying sort — one pass moves point/color columns with
-    #    the keys; wins at <=512k points (+5% pipeline at 384^2);
+    # Three sort strategies (all measured on v5e-lite):
+    #  * packed sort (default) — 3 int32 columns, ~40% the traffic of the
+    #    f32 payload sort; quantization documented above;
+    #  * exact payload sort — moves f32 point/color columns with the keys;
     #  * argsort + gathers — payload columns inflate sort traffic at
     #    multi-million points (payload sort was 27% slower at 1408^2).
-    if n <= (1 << 19):
+    if packed:
+        frac = jnp.clip(
+            ((scaled - coords) * 1024.0).astype(jnp.int32), 0, 1023
+        )
+        fpack = (frac[:, 0] << 20) | (frac[:, 1] << 10) | frac[:, 2]
+        if colors is not None:
+            c8 = jnp.clip(
+                (colors * 255.0 + 0.5).astype(jnp.int32), 0, 255
+            )
+            cpack = (c8[:, 0] << 16) | (c8[:, 1] << 8) | c8[:, 2]
+            key_s, fpack_s, cpack_s = jax.lax.sort(
+                [key, fpack, cpack], num_keys=1
+            )
+        else:
+            key_s, fpack_s = jax.lax.sort([key, fpack], num_keys=1)
+            cpack_s = None
+        coords_s = jnp.stack(
+            [
+                (key_s >> (2 * _BITS)) & (_SPAN - 1),
+                (key_s >> _BITS) & (_SPAN - 1),
+                key_s & (_SPAN - 1),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        frac_s = jnp.stack(
+            [
+                (fpack_s >> 20) & 1023,
+                (fpack_s >> 10) & 1023,
+                fpack_s & 1023,
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        pts_s = origin + (coords_s + (frac_s + 0.5) / 1024.0) * voxel_size
+        if cpack_s is not None:
+            cols_s = (
+                jnp.stack(
+                    [
+                        (cpack_s >> 16) & 255,
+                        (cpack_s >> 8) & 255,
+                        cpack_s & 255,
+                    ],
+                    axis=1,
+                ).astype(jnp.float32)
+                / 255.0
+            )
+        else:
+            cols_s = None
+    elif n <= (1 << 19):
         operands = [key] + [points[:, i] for i in range(3)]
         if colors is not None:
             operands += [colors[:, i] for i in range(colors.shape[1])]

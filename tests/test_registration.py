@@ -68,6 +68,27 @@ def test_voxel_downsample_masks_input(rng):
     assert int(m1.sum()) == int(m2.sum())
 
 
+def test_voxel_downsample_packed_matches_exact(rng):
+    """The packed int32 sort (default) matches the exact f32 payload sort
+    to its documented quantization: <= voxel/1024 per point axis, exact
+    colors for uint8-sourced values."""
+    pts = rng.uniform(-2.0, 2.0, (20000, 3)).astype(np.float32)
+    cols = (rng.integers(0, 256, (20000, 3)) / 255.0).astype(np.float32)
+    mask = rng.random(20000) < 0.9
+    p1, c1, m1 = voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(mask), 0.1, 4096,
+        packed=False,
+    )
+    p2, c2, m2 = voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(mask), 0.1, 4096,
+        packed=True,
+    )
+    m1, m2 = np.asarray(m1), np.asarray(m2)
+    assert (m1 == m2).all()
+    assert np.abs(np.asarray(p1)[m1] - np.asarray(p2)[m1]).max() < 2e-4
+    assert np.abs(np.asarray(c1)[m1] - np.asarray(c2)[m1]).max() < 1e-6
+
+
 def test_normals_on_plane(rng):
     """Floor points -> normals ~ +-z, oriented toward camera origin."""
     pts = np.stack(
