@@ -212,11 +212,19 @@ def bench_detector(rng):
         special_token_masks,
     )
 
-    cfg = GroundingDinoConfig()  # Swin-B + BERT-base (grounding-dino-base)
+    import dataclasses
+
+    # bf16 end-to-end (TPU inference dtype; parity tests stay f32):
+    # measured 238 -> 228 ms on the 800^2 forward
+    cfg = dataclasses.replace(
+        GroundingDinoConfig(), deformable_value_dtype="bfloat16"
+    )  # Swin-B + BERT-base (grounding-dino-base)
     model = GroundingDinoForDetection(cfg)
     ids = np.array([[101, 2711, 1012, 2192, 1012, 3231, 1012, 102]], np.int32)
     self_masks, pos = special_token_masks(ids)
-    img = jnp.asarray(rng.normal(size=(1, 800, 800, 3)).astype(np.float32))
+    img = jnp.asarray(
+        rng.normal(size=(1, 800, 800, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
     args = (
         img,
         jnp.asarray(ids),
@@ -247,7 +255,9 @@ def bench_sam(rng):
 
     cfg = SamConfig.vit_h()
     model = SamModel(cfg)
-    img = jnp.asarray(rng.normal(size=(1, 1024, 1024, 3)).astype(np.float32))
+    img = jnp.asarray(
+        rng.normal(size=(1, 1024, 1024, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
     boxes = jnp.asarray([[[200.0, 200.0, 700.0, 700.0]]])
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img, None, None, boxes)
     params = jax.block_until_ready(

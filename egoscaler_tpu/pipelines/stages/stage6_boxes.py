@@ -63,12 +63,22 @@ class HFGroundingDino:
                 return_tensors="pt",
             ).to(self.device)
             outputs = self.model(**inputs)
-            post = self.processor.post_process_grounded_object_detection(
+            # transformers renamed box_threshold -> threshold (~4.51);
+            # the reference pins the old API (6_get_bounding_box.py:136)
+            import inspect
+
+            post_fn = self.processor.post_process_grounded_object_detection
+            box_kw = (
+                "box_threshold"
+                if "box_threshold" in inspect.signature(post_fn).parameters
+                else "threshold"
+            )
+            post = post_fn(
                 outputs,
                 inputs.input_ids,
-                box_threshold=threshold,
                 text_threshold=threshold,
                 target_sizes=[img.shape[:2] for img in images],
+                **{box_kw: threshold},
             )
         for r in post:
             dets = []

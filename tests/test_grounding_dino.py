@@ -218,3 +218,39 @@ def test_jax_detector_protocol(hf_gdino, rng):
             box = d["box"]
             assert box["xmax"] >= box["xmin"] and box["ymax"] >= box["ymin"]
             assert 0.0 <= d["score"] <= 1.0
+
+
+def test_hf_adapter_from_local_checkpoint(hf_gdino, tmp_path):
+    """HFGroundingDino (the torch fallback adapter, stage6_boxes.py:38)
+    loads a LOCAL checkpoint directory offline and returns dicts in the
+    stage-6 schema — exercised with the tiny random HF model saved to
+    disk plus hand-written processor assets (no network)."""
+    from transformers import (
+        BertTokenizer,
+        GroundingDinoImageProcessor,
+        GroundingDinoProcessor,
+    )
+
+    from egoscaler_tpu.pipelines.stages.stage6_boxes import HFGroundingDino
+
+    path = tmp_path / "gdino_tiny"
+    hf_gdino.save_pretrained(path)
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", ".", "person",
+             "hand", "cup"] + [f"w{i}" for i in range(40)]
+    (tmp_path / "vocab.txt").write_text("\n".join(vocab) + "\n")
+    processor = GroundingDinoProcessor(
+        image_processor=GroundingDinoImageProcessor(
+            size={"shortest_edge": 64, "longest_edge": 64}
+        ),
+        tokenizer=BertTokenizer(str(tmp_path / "vocab.txt")),
+    )
+    processor.save_pretrained(path)
+
+    det = HFGroundingDino(str(path))
+    rng = np.random.default_rng(0)
+    frames = [rng.integers(0, 255, size=(96, 128, 3)).astype(np.uint8)]
+    results = det.detect(frames, ["person", "cup"], threshold=0.0)
+    assert len(results) == 1
+    for d in results[0]:
+        box = d["box"]
+        assert box["xmax"] >= box["xmin"] and box["ymax"] >= box["ymin"]
