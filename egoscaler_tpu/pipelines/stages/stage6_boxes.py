@@ -82,7 +82,10 @@ class HFGroundingDino:
             )
         for r in post:
             dets = []
-            for score, label, box in zip(r["scores"], r["labels"], r["boxes"]):
+            # transformers >= 4.51 deprecates "labels" (becomes integer
+            # ids); "text_labels" carries the matched phrases
+            labels = r.get("text_labels") or r["labels"]
+            for score, label, box in zip(r["scores"], labels, r["boxes"]):
                 x1, y1, x2, y2 = [int(v) for v in box.tolist()]
                 dets.append(
                     {

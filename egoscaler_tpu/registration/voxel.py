@@ -45,9 +45,14 @@ def voxel_downsample(
     payload sort.
     """
     n = points.shape[0]
+    if colors is not None and colors.shape[1] != 3:
+        packed = False  # rgb888 pack assumes 3 channels; exact path is general
     origin = jnp.min(
         jnp.where(mask[:, None], points, jnp.inf), axis=0
     )  # local origin keeps coords positive
+    # all-masked input: origin is +inf and would reconstruct NaN points in
+    # the packed path; any finite origin gives the same (empty) output
+    origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
     scaled = (points - origin) / voxel_size
     coords = jnp.floor(scaled).astype(jnp.int32)
     coords = jnp.clip(coords, 0, _SPAN - 1)

@@ -68,6 +68,19 @@ def test_voxel_downsample_masks_input(rng):
     assert int(m1.sum()) == int(m2.sum())
 
 
+def test_voxel_downsample_all_masked_is_finite(rng):
+    """All-False mask (e.g. a frame whose pixels are all invalid): the
+    packed path must not reconstruct NaN points from the +inf origin."""
+    pts, cols = make_scene(rng, 500)
+    mask = np.zeros(500, bool)
+    out_p, out_c, out_m = voxel_downsample(
+        jnp.asarray(pts), jnp.asarray(cols), jnp.asarray(mask), 0.1, 1024
+    )
+    assert not bool(np.asarray(out_m).any())
+    assert np.isfinite(np.asarray(out_p)).all()
+    assert np.isfinite(np.asarray(out_c)).all()
+
+
 def test_voxel_downsample_packed_matches_exact(rng):
     """The packed int32 sort (default) matches the exact f32 payload sort
     to its documented quantization: <= voxel/1024 per point axis, exact
