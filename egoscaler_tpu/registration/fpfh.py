@@ -86,8 +86,17 @@ def compute_fpfh(
         idx, nvalid = hybrid_knn(
             points, mask, radius, max_nn, include_self=False
         )
-    q = points[idx]          # (M, K, 3)
-    nq = normals[idx]
+    # ONE packed gather: two separate (M*K, 3) row gathers of 12-byte
+    # rows ran at ~6.6 GB/s effective (profiled 0.74 ms each per frame);
+    # packing points+normals into 8-lane rows halves the gather count
+    # and aligns the row stride.
+    packed = jnp.concatenate(
+        [points, normals, jnp.zeros((points.shape[0], 2), points.dtype)],
+        axis=1,
+    )  # (M, 8)
+    pk = packed[idx]         # (M, K, 8)
+    q = pk[..., 0:3]
+    nq = pk[..., 3:6]
     p = points[:, None, :]
     np_ = normals[:, None, :]
 

@@ -29,6 +29,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from egoscaler_tpu.geometry.solve import solve3x3, solve_psd
 from egoscaler_tpu.geometry.transforms import se3_compose, se3_from_rt
 from egoscaler_tpu.registration.neighbors import cross_knn, hybrid_knn
 
@@ -72,8 +73,12 @@ def color_gradients(
         nvalid = (nb_d2[:, 1 : max_nn + 1] <= radius * radius) & mask[:, None]
     else:
         idx, nvalid = hybrid_knn(points, mask, radius, max_nn, include_self=False)
-    q = points[idx]                       # (M, K, 3)
-    cq = inten[idx]
+    # packed single gather (see fpfh.py): points + intensity in one
+    # 4-lane row instead of two scattered row gathers
+    packed = jnp.concatenate([points, inten[:, None]], axis=1)  # (M, 4)
+    pk = packed[idx]                      # (M, K, 4)
+    q = pk[..., 0:3]
+    cq = pk[..., 3]
     p = points[:, None, :]
     n = normals[:, None, :]
     # project neighbors on the tangent plane
@@ -90,7 +95,10 @@ def color_gradients(
     )[..., None]
     ata = ata + jnp.eye(3) * 1e-6
     atb = jnp.einsum("mki,mk->mi", aw, b, precision=jax.lax.Precision.HIGHEST)
-    return jnp.linalg.solve(ata, atb[..., None])[..., 0]
+    # closed-form batched 3x3 solve: jnp.linalg.solve's LuDecomposition
+    # custom call was the hottest op of the registration stage (3.2 ms
+    # per pair for this batch of tiny systems)
+    return solve3x3(ata, atb)
 
 
 def colored_icp(
@@ -177,7 +185,7 @@ def colored_icp(
         )
         jtr = jg.T @ rg + jc.T @ rc
         jtj = jtj + jnp.eye(6) * 1e-6
-        xi = -jnp.linalg.solve(jtj, jtr)  # (omega, t)
+        xi = -solve_psd(jtj, jtr)  # (omega, t); unrolled Cholesky, no LU call
 
         # small-angle SE(3) update
         omega, trans = xi[:3], xi[3:]
