@@ -143,38 +143,76 @@ def _sample_feat(fm: jax.Array, xy: jax.Array) -> jax.Array:
     )
 
 
+def build_pyramid(fmaps: jax.Array, levels: int) -> list:
+    """(T, h, w, C) -> `levels` linearly-downsampled feature maps.
+    Built ONCE per window: the old code rebuilt it inside every
+    refinement iteration."""
+    pyr = [fmaps]
+    for _ in range(1, levels):
+        t, h, w, c = pyr[-1].shape
+        pyr.append(
+            jax.image.resize(pyr[-1], (t, h // 2, w // 2, c), method="linear")
+        )
+    return pyr
+
+
+def _sample_patches(fm_t: jax.Array, xy_t: jax.Array, radius: int) -> jax.Array:
+    """Bilinear (2r+1)^2 patches around each track: (h,w,C), (Q,2) ->
+    (Q, 2r+1, 2r+1, C).
+
+    All patch points of one track share the SAME fractional offset, so
+    instead of (2r+1)^2 x 4 scattered row gathers (profiled at 47 GB/s
+    effective, 97 ms/clip) we block-gather ONE integer-aligned
+    (2r+2)^2 patch per track via vmapped dynamic_slice and blend the 4
+    shifted sub-patches — identical math for in-bounds tracks; the map
+    is edge-padded so near-border patches replicate edges like the
+    per-pixel clamp did."""
+    h, w, c = fm_t.shape
+    d = 2 * radius + 2
+    pad = radius + 1
+    fmp = jnp.pad(fm_t, ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+    base = jnp.floor(xy_t)
+    frac = xy_t - base  # (Q, 2) in [0, 1)
+    sx = jnp.clip(base[:, 0].astype(jnp.int32) - radius + pad, 0, w + 2 * pad - d)
+    sy = jnp.clip(base[:, 1].astype(jnp.int32) - radius + pad, 0, h + 2 * pad - d)
+    patch = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(fmp, (y, x, 0), (d, d, c))
+    )(sy, sx)  # (Q, d, d, C)
+    wx = frac[:, 0][:, None, None, None]
+    wy = frac[:, 1][:, None, None, None]
+    return (
+        patch[:, :-1, :-1] * (1 - wy) * (1 - wx)
+        + patch[:, :-1, 1:] * (1 - wy) * wx
+        + patch[:, 1:, :-1] * wy * (1 - wx)
+        + patch[:, 1:, 1:] * wy * wx
+    )
+
+
 def corr_features(
     fmaps: jax.Array,    # (T, h, w, C) feature maps
     track_feat: jax.Array,  # (Q, C) template features
     coords: jax.Array,   # (T, Q, 2) current estimates (feature coords)
     radius: int,
     levels: int,
+    pyramid: Optional[list] = None,
 ) -> jax.Array:
     """Multi-scale local correlation patches around current estimates
-    (CoTracker corr pyramid): (T, Q, levels*(2r+1)^2)."""
+    (CoTracker corr pyramid): (T, Q, levels*(2r+1)^2).
+
+    `pyramid`: optional precomputed `build_pyramid(fmaps, levels)`."""
+    if pyramid is None:
+        pyramid = build_pyramid(fmaps, levels)
+    inv_sqrt_c = 1.0 / jnp.sqrt(track_feat.shape[-1]).astype(fmaps.dtype)
     outs = []
-    fm = fmaps
-    for lvl in range(levels):
+    for lvl, fm in enumerate(pyramid):
         scale = 2 ** lvl
 
         def per_frame(fm_t, xy_t):
-            off = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-            gy, gx = jnp.meshgrid(off, off, indexing="ij")
-            grid = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)  # (P, 2)
-
-            def per_track(xy, tf):
-                pts = xy / scale + grid
-                patch = _sample_feat(fm_t, pts)  # (P, C)
-                return patch @ tf / jnp.sqrt(tf.shape[-1]).astype(patch.dtype)
-
-            return jax.vmap(per_track)(xy_t, track_feat)
+            pat = _sample_patches(fm_t, xy_t / scale, radius)  # (Q,k,k,C)
+            corr = jnp.sum(pat * track_feat[:, None, None, :], axis=-1)
+            return corr.reshape(pat.shape[0], -1) * inv_sqrt_c
 
         outs.append(jax.vmap(per_frame)(fm, coords))
-        if lvl < levels - 1:
-            t, h, w, c = fm.shape
-            fm = jax.image.resize(
-                fm, (t, h // 2, w // 2, c), method="linear"
-            )
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -257,9 +295,11 @@ class SpaTracker(nn.Module):
 
         updater = UpdateFormer(cfg, name="updateformer")
         corr_dim = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+        pyramid = build_pyramid(fmaps, cfg.corr_levels)
         for _ in range(cfg.iters):
             corr = corr_features(
-                fmaps, track_feat, coords / s, cfg.corr_radius, cfg.corr_levels
+                fmaps, track_feat, coords / s, cfg.corr_radius,
+                cfg.corr_levels, pyramid=pyramid,
             )
             rel = (coords - coords[0:1]) / jnp.asarray([w, h], jnp.float32)
             tokens = jnp.concatenate(
@@ -283,10 +323,17 @@ class SpaTracker(nn.Module):
 class SpaTrackerPredictor:
     """Sliding-window inference (predictor.py:37-78 equivalent).
 
-    The per-window forward is jitted once and reused across windows and
-    clips (same shapes -> one compile): an eager window through the
-    remote-relay host path measured ~200x slower than the compiled call
-    (19.6 s vs ~0.1 s/window on a 16-frame clip)."""
+    The WHOLE clip compiles into one XLA program (windows unrolled at
+    trace time — clip lengths are static everywhere in the pipeline):
+    the previous per-window host loop paid a ~28 ms relay fetch plus
+    host dispatch gap per window (3 windows: 223 ms wall for 140 ms of
+    device time), and its overlap bookkeeping emitted every window's
+    full span then truncated, so the tail window's frames were dropped
+    and re-labelled from the previous window.
+
+    Window i>0 is seeded with the PREVIOUS window's track positions at
+    window i's first frame and contributes only its new (non-overlap)
+    frames — the reference predictor's overlap-carry semantics."""
 
     model: SpaTracker
     params: dict
@@ -295,6 +342,32 @@ class SpaTrackerPredictor:
         self._window_fn = jax.jit(
             lambda p, c, d, q: self.model.apply(p, c, d, q)
         )
+        self._clip_fns: dict = {}
+
+    def _build_clip_fn(self, t: int, win: int):
+        stride = max(win // 2, 1)
+        starts = list(range(stride, t - win + 1, stride))
+        if not starts or starts[-1] != t - win:
+            starts.append(t - win)  # clamped tail window
+
+        def clip_fn(params, clip, depths, queries):
+            tracks, _ = self.model.apply(
+                params, clip[:win], depths[:win], queries
+            )
+            outs = [tracks]
+            prev_start = 0
+            for s in starts:
+                # reseed at this window's first frame (local index in the
+                # previous window: s - prev_start < win by construction)
+                seed = tracks[s - prev_start]
+                tracks, _ = self.model.apply(
+                    params, clip[s:s + win], depths[s:s + win], seed
+                )
+                outs.append(tracks[prev_start + win - s:])  # new frames
+                prev_start = s
+            return jnp.concatenate(outs, axis=0)
+
+        return jax.jit(clip_fn)
 
     def __call__(
         self,
@@ -306,20 +379,10 @@ class SpaTrackerPredictor:
         cfg = self.model.cfg
         win = window or cfg.window
         t = clip.shape[0]
-        overlap = win // 2
-        outs = []
-        cur_q = queries
-        start = 0
-        while start < t:
-            end = min(start + win, t)
-            seg = slice(end - win, end) if end - start < win else slice(start, end)
-            tracks, vis = self._window_fn(
-                self.params, clip[seg], depths[seg], cur_q
-            )
-            take_from = start - seg.start
-            outs.append(tracks[take_from:])
-            cur_q = tracks[-1]
-            start += win - overlap
-            if end == t:
-                break
-        return jnp.concatenate(outs, axis=0)[:t]
+        if t <= win:
+            tracks, _ = self._window_fn(self.params, clip, depths, queries)
+            return tracks
+        key = (t, win)
+        if key not in self._clip_fns:
+            self._clip_fns[key] = self._build_clip_fn(t, win)
+        return self._clip_fns[key](self.params, clip, depths, queries)

@@ -86,6 +86,9 @@ def main():
                 device_pids.add(e["pid"])
     by_name = collections.Counter()
     by_fam = collections.Counter()
+    by_cat = collections.Counter()
+    cat_flops = collections.Counter()
+    cat_bytes = collections.Counter()
     calls = collections.Counter()
     total = 0.0
     for e in events:
@@ -93,15 +96,26 @@ def main():
             continue
         dur = e.get("dur", 0) / 1e3 / iters  # us -> ms, per iteration
         name = e.get("name", "?")
+        args = e.get("args", {})
         by_name[name] += dur
         by_fam[family(name)] += dur
         calls[name] += 1
         total += dur
+        cat = args.get("hlo_category")
+        if cat is not None:  # leaf op with stats (parent spans carry none)
+            by_cat[cat] += dur
+            cat_flops[cat] += int(args.get("model_flops", 0) or 0) / iters
+            cat_bytes[cat] += int(args.get("bytes_accessed", 0) or 0) / iters
 
     print(f"\ndevice total: {total:.1f} ms/iter over {iters} iters")
     print(f"\n== top {top_n} ops by total device time ==")
     for name, ms in by_name.most_common(top_n):
         print(f"  {ms:8.2f} ms  x{calls[name] // iters:<5d} {name[:90]}")
+    print("\n== by hlo category (leaf ops; achieved GF/s + GB/s) ==")
+    for cat, ms in by_cat.most_common(20):
+        gfs = cat_flops[cat] / 1e9 / (ms / 1e3) if ms else 0.0
+        gbs = cat_bytes[cat] / 1e9 / (ms / 1e3) if ms else 0.0
+        print(f"  {ms:8.2f} ms  {cat:<28s} {gfs:8.0f} GF/s {gbs:7.1f} GB/s")
     print("\n== by op family ==")
     for fam, ms in by_fam.most_common(20):
         print(f"  {ms:8.2f} ms  {fam}")

@@ -67,3 +67,41 @@ def test_sliding_window_predictor(rng):
     tracks = pred(clip, depths, queries)
     assert tracks.shape == (10, 1, 3)
     assert np.isfinite(np.asarray(tracks)).all()
+
+
+def test_predictor_overlap_assembly(rng):
+    """Output frame t must come from the window that covers t with the
+    correct seed — the old host loop emitted every window's full span
+    then truncated, re-labelling overlap frames (fixed in round 2)."""
+    cfg = TrackerConfig().tiny()  # window=4 -> stride 2, windows 0,2,4,6,8,12
+    model = SpaTracker(cfg)
+    t, h, w = 16, 32, 32
+    clip = jnp.asarray(rng.uniform(0, 1, (t, h, w, 3)).astype(np.float32))
+    depths = jnp.asarray(rng.uniform(1, 3, (t, h, w)).astype(np.float32))
+    queries = jnp.asarray(np.array([[10.0, 12.0, 2.0]], np.float32))
+    win = cfg.window
+    params = model.init(
+        jax.random.PRNGKey(0), clip[:win], depths[:win], queries
+    )
+    pred = SpaTrackerPredictor(model, params)
+    out = np.asarray(pred(clip, depths, queries))
+    assert out.shape == (t, 1, 3)
+
+    # reference assembly: explicit window loop with per-window reseeding
+    stride = win // 2
+    starts = list(range(stride, t - win + 1, stride))
+    if starts[-1] != t - win:
+        starts.append(t - win)
+    tracks, _ = model.apply(params, clip[:win], depths[:win], queries)
+    expect = [np.asarray(tracks)]
+    prev = 0
+    for s in starts:
+        seed = tracks[s - prev]
+        tracks, _ = model.apply(
+            params, clip[s:s + win], depths[s:s + win], seed
+        )
+        expect.append(np.asarray(tracks)[prev + win - s:])
+        prev = s
+    expect = np.concatenate(expect, axis=0)
+    assert expect.shape == (t, 1, 3)
+    np.testing.assert_allclose(out, expect, atol=1e-5)
