@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from egoscaler_tpu.ops.gelu import gelu as pgelu
+
 
 @dataclasses.dataclass(frozen=True)
 class DepthAnythingConfig:
@@ -91,7 +93,7 @@ class DinoBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = pgelu(h)
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
         ls2 = self.param("ls2_gamma", nn.initializers.ones, (self.dim,))
         return x + h * ls2

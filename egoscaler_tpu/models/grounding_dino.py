@@ -38,6 +38,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from egoscaler_tpu.ops.gelu import gelu as pgelu
+
 from egoscaler_tpu.models.swin import SwinBackbone, SwinConfig
 
 # [CLS], [SEP], '.', '?' in the BERT vocab (modeling_grounding_dino.py:1860)
@@ -176,7 +178,7 @@ class BertLayer(nn.Module):
             epsilon=c.layer_norm_eps, name="attention_output_LayerNorm"
         )(x + attn)
         h = nn.Dense(c.intermediate_size, name="intermediate_dense")(x)
-        h = nn.gelu(h, approximate=False)
+        h = pgelu(h)
         h = nn.Dense(c.hidden_size, name="output_dense")(h)
         return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_LayerNorm")(x + h)
 

@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from egoscaler_tpu.ops.gelu import gelu as pgelu
+
 from egoscaler_tpu.configs import PointBertConfig
 from egoscaler_tpu.ops.fps import farthest_point_sampling, gather_points
 from egoscaler_tpu.ops.knn import gather_groups, knn_indices
@@ -113,7 +115,7 @@ class ViTBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = pgelu(h)
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
         return x + self._drop_path(h, deterministic)
 
@@ -161,7 +163,7 @@ class PointTransformer(nn.Module):
             "cls_pos", nn.initializers.normal(1.0), (1, 1, cfg.trans_dim)
         )
         pos = nn.Dense(128, name="pos_embed_0")(center)
-        pos = nn.gelu(pos, approximate=False)
+        pos = pgelu(pos)
         pos = nn.Dense(cfg.trans_dim, name="pos_embed_2")(pos)
 
         x = jnp.concatenate(

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from egoscaler_tpu.ops.gelu import gelu as pgelu
+
 from egoscaler_tpu.configs import PointLLMConfig
 from egoscaler_tpu.models.llama import LlamaModel, init_kv_cache
 from egoscaler_tpu.models.pointbert import PointTransformer
@@ -40,7 +42,7 @@ class PointProjector(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, d in enumerate(self.hidden_dims):
             x = nn.Dense(d, name=f"proj_{2 * i}")(x)
-            x = nn.gelu(x, approximate=False)
+            x = pgelu(x)
         return nn.Dense(self.out_dim, name=f"proj_{2 * len(self.hidden_dims)}")(x)
 
 

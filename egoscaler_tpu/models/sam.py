@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from egoscaler_tpu.ops.gelu import gelu as pgelu
+
 
 @dataclasses.dataclass(frozen=True)
 class SamVisionCfg:
@@ -240,7 +242,7 @@ class SamVisionLayer(nn.Module):
         x = shortcut + h
         h = nn.LayerNorm(epsilon=1e-6, name="layer_norm2")(x)
         h = nn.Dense(cfg.mlp_dim, name="mlp_lin1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = pgelu(h)
         h = nn.Dense(cfg.hidden_size, name="mlp_lin2")(h)
         return x + h
 
@@ -509,12 +511,12 @@ class SamMaskDecoder(nn.Module):
             name="upscale_conv1",
         )(img_sp)
         up = ChannelLayerNorm(name="upscale_layer_norm")(up)
-        up = nn.gelu(up, approximate=False)
+        up = pgelu(up)
         up = nn.ConvTranspose(
             d // 8, (2, 2), strides=(2, 2), padding="VALID",
             name="upscale_conv2",
         )(up)
-        up = nn.gelu(up, approximate=False)
+        up = pgelu(up)
         gh = up.shape[1]
 
         hyper = jnp.stack(

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from egoscaler_tpu.ops.gelu import gelu as pgelu
+
 
 @dataclasses.dataclass(frozen=True)
 class SwinConfig:
@@ -202,7 +204,7 @@ class SwinBlock(nn.Module):
         hmid = nn.Dense(
             int(self.dim * cfg.mlp_ratio), name="intermediate_dense"
         )(hmid)
-        hmid = nn.gelu(hmid, approximate=False)
+        hmid = pgelu(hmid)
         hmid = nn.Dense(self.dim, name="output_dense")(hmid)
         return x + hmid
 

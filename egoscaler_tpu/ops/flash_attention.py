@@ -110,14 +110,20 @@ def _flash_kernel(
         m, l, acc = jax.lax.fori_loop(0, needed, body, (m0, l0, acc0))
         out = acc / jnp.maximum(l, 1e-30)[:, None]
         o_ref[0, hp, :, :] = out.astype(o_ref.dtype)
-        lse = m + jnp.log(jnp.maximum(l, 1e-30))
-        lse_ref[0, hp, :, :] = jnp.broadcast_to(
-            lse[:, None], lse_ref.shape[2:]
-        )
+        if lse_ref is not None:  # only the VJP forward needs logsumexp
+            lse = m + jnp.log(jnp.maximum(l, 1e-30))
+            lse_ref[0, hp, :, :] = jnp.broadcast_to(
+                lse[:, None], lse_ref.shape[2:]
+            )
+
+
+def _nolse_wrapper(kernel, q_ref, k_ref, v_ref, mask_ref, o_ref):
+    kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, None)
 
 
 def _flash_forward(
-    q, k, v, mask_i32, *, causal, q_offset, scale, block_q, block_kv
+    q, k, v, mask_i32, *, causal, q_offset, scale, block_q, block_kv,
+    need_lse=True,
 ):
     b, s, h, d = q.shape
     t = k.shape[1]
@@ -149,6 +155,26 @@ def _flash_forward(
         scale=scale,
         kv_len_static=t_pad,
     )
+    out_specs = [
+        pl.BlockSpec(
+            (1, hpack, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype)]
+    if need_lse:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, hpack, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32)
+        )
+    else:
+        # inference never reads the logsumexp; writing its lane-broadcast
+        # (B, H, S, 128) f32 buffer cost 184 MB/layer of pure HBM writes
+        # in the DepthAnything ViT-L forward
+        kernel = functools.partial(_nolse_wrapper, kernel)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -164,22 +190,15 @@ def _flash_forward(
             ),
             pl.BlockSpec((1, 1, t_pad), lambda bi, hi, qi: (bi, 0, 0)),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, hpack, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)
-            ),
-            pl.BlockSpec(
-                (1, hpack, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, s_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, s_pad, 128), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
     )(qp, kp, vp, mp)
 
-    return jnp.swapaxes(out[0], 1, 2)[:, :s], out[1]
+    return (
+        jnp.swapaxes(out[0], 1, 2)[:, :s],
+        out[1] if need_lse else None,
+    )
 
 
 def _flash_bwd_dq_kernel(
@@ -469,7 +488,8 @@ def flash_attention(
 
     @jax.custom_vjp
     def fa(q, k, v, m):
-        return _flash_forward(q, k, v, m, **static)[0]
+        # primal (inference) path: skip the logsumexp output entirely
+        return _flash_forward(q, k, v, m, **static, need_lse=False)[0]
 
     def fa_fwd(q, k, v, m):
         out, lse = _flash_forward(q, k, v, m, **static)

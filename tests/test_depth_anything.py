@@ -27,8 +27,12 @@ REF = "/root/reference/egoscaler/data/third_party/Depth-Anything-V2/metric_depth
 
 @pytest.fixture(scope="module")
 def torch_ref():
-    # stub torchvision/cv2 so the reference dpt.py imports on this host
-    if "torchvision" not in sys.modules:
+    # stub torchvision/cv2 so the reference dpt.py imports on this host;
+    # REMOVE the stubs afterwards — a bare ModuleType has __spec__=None,
+    # which poisons any later real `import torchvision` in the same
+    # pytest process (test_sam's HF oracle hits importlib.util.find_spec)
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
         tv = types.ModuleType("torchvision")
         tr = types.ModuleType("torchvision.transforms")
         tr.Compose = lambda x: x
@@ -36,10 +40,18 @@ def torch_ref():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tr
     sys.path.insert(0, REF)
-    import torch
-    from depth_anything_v2.dinov2 import DinoVisionTransformer
-    from depth_anything_v2.dinov2_layers import MemEffAttention, NestedTensorBlock
-    from depth_anything_v2.dpt import DPTHead
+    try:
+        import torch
+        from depth_anything_v2.dinov2 import DinoVisionTransformer
+        from depth_anything_v2.dinov2_layers import (
+            MemEffAttention,
+            NestedTensorBlock,
+        )
+        from depth_anything_v2.dpt import DPTHead
+    finally:
+        if stubbed:
+            sys.modules.pop("torchvision", None)
+            sys.modules.pop("torchvision.transforms", None)
 
     return torch, DinoVisionTransformer, NestedTensorBlock, MemEffAttention, DPTHead
 
