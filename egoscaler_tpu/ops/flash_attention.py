@@ -470,9 +470,17 @@ def flash_attention(
     b, s, h, d = q.shape
     t = k.shape[1]
     if block_q is None:
-        block_q = 512 if s >= 1024 else 256
+        block_q = 256 if s >= 256 else 128
     if block_kv is None:
-        block_kv = 512 if t >= 1024 else 256
+        t128 = -(-t // 128) * 128
+        if not causal and t128 <= 2048:
+            # one full-width KV block: minimal padding (ViT-L's S=1370
+            # pads to 1408 instead of 1536) and no inter-block softmax
+            # rescaling; measured 36.1 -> 31.4 ms on the 24-layer
+            # DepthAnything attention at (16, 1370, 16, 64)
+            block_kv = t128
+        else:
+            block_kv = 512 if t >= 1024 else 256
     scale = float(d ** -0.5 if scale is None else scale)
     if kv_mask is None:
         if kv_lengths is None:

@@ -42,6 +42,7 @@ def _sam_flash_kernel(
     scale: float,
     grid_w: int,
     kv_len: int,
+    kv_valid: int,
 ):
     bq = q_ref.shape[2]
     dp = q_ref.shape[3]
@@ -68,6 +69,11 @@ def _sam_flash_kernel(
             v_blk = v_ref[0, 0, pl.ds(ki * block_kv, block_kv), :]
             s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
             s = s + bias_scratch[:, pl.ds(ki * block_kv, block_kv)]
+            if kv_valid != kv_len:  # static: padded token-count tail
+                kv_pos = ki * block_kv + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_kv), 1
+                )
+                s = jnp.where(kv_pos < kv_valid, s, _NEG_INF)
 
             m_cur = jnp.max(s, axis=-1)
             m_new = jnp.maximum(m_prev, m_cur)
@@ -115,52 +121,70 @@ def sam_global_attention(
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
+    # pad the token axis to a lane multiple (windowed SAM layers run
+    # S = 14*14 = 196): padded keys are masked to -inf in-kernel, padded
+    # query rows are sliced off below
+    sp = s if _interpret() else -(-s // 128) * 128
+    if sp != s:
+        tpad = ((0, 0), (0, 0), (0, sp - s), (0, 0))
+        q = jnp.pad(q, tpad)
+        k = jnp.pad(k, tpad)
+        v = jnp.pad(v, tpad)
+        rel_h = jnp.pad(rel_h, tpad)
+        rel_w = jnp.pad(rel_w, tpad)
+
     # block_q 128 keeps the per-program f32 bias_full (block_q x S) plus
     # the VMEM-resident f32 KV inside the 16 MB budget at S=4096
-    block_q = min(128, s)
-    # kv blocks must cover whole token rows so the bias tile is a
-    # (rows x gw) rectangle; on real hardware the slice offset must also
-    # be a lane multiple (128)
-    block_kv = min(512 // gw * gw if gw <= 512 else gw, s)
-    block_kv = max(block_kv, gw)
-    assert s % block_q == 0 and s % block_kv == 0, (s, block_q, block_kv)
+    block_q = min(128, sp)
+    # prefer ~512-wide kv blocks; any 128 multiple dividing sp works (the
+    # bias tile is sliced from the full per-row scratch)
+    block_kv = sp
+    for cand in (512, 256, 128):
+        if sp % cand == 0:
+            block_kv = cand
+            break
+    assert sp % block_q == 0 and sp % block_kv == 0, (sp, block_q, block_kv)
     assert _interpret() or block_kv % 128 == 0, (
         f"block_kv {block_kv} must be a 128 multiple on TPU"
     )
 
     import numpy as np
 
-    t_ids = np.arange(s)
+    t_ids = np.arange(sp)
+    # pad columns (t >= s) fall outside [0, gh) / exact-match rows, so
+    # their one-hot columns are all-zero -> bias 0 there (masked anyway)
     eh = (t_ids[None, :] // gw == np.arange(gh)[:, None]).astype(np.float32)
     ew = (t_ids[None, :] % gw == np.arange(gw)[:, None]).astype(np.float32)
+    ew[:, s:] = 0.0
 
     kernel = functools.partial(
         _sam_flash_kernel,
         block_kv=block_kv,
         scale=scale,
         grid_w=gw,
-        kv_len=s,
+        kv_len=sp,
+        kv_valid=s,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, h, s // block_q),
+        grid=(b, h, sp // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, dp), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, s, dp), lambda bi, hi, qi: (bi, hi, 0, 0)),
-            pl.BlockSpec((1, 1, s, dp), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, sp, dp), lambda bi, hi, qi: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, sp, dp), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, block_q, gh), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_q, gw), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((gh, s), lambda bi, hi, qi: (0, 0)),
-            pl.BlockSpec((gw, s), lambda bi, hi, qi: (0, 0)),
+            pl.BlockSpec((gh, sp), lambda bi, hi, qi: (0, 0)),
+            pl.BlockSpec((gw, sp), lambda bi, hi, qi: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, dp), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, dp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, dp), q.dtype),
         interpret=_interpret(),
     )(
         q, k, v,
         rel_h.astype(jnp.float32), rel_w.astype(jnp.float32),
         jnp.asarray(eh), jnp.asarray(ew),
     )
-    return out[..., :d]
+    return out[:, :, :s, :d]
