@@ -130,6 +130,15 @@ def colored_icp(
     tgt_inten = _intensity(target_cols)
     sqrt_lg = jnp.sqrt(lambda_geometric)
     sqrt_lc = jnp.sqrt(1.0 - lambda_geometric)
+    # ONE packed correspondence gather per GN iteration instead of four
+    # scattered row gathers (pt/normal/gradient/intensity)
+    tgt_packed = jnp.concatenate(
+        [
+            target_pts, target_normals, tgt_grad, tgt_inten[:, None],
+            jnp.zeros((target_pts.shape[0], 2), target_pts.dtype),
+        ],
+        axis=1,
+    )  # (M, 12)
 
     n_src_f = jnp.sum(source_mask).clip(1).astype(jnp.float32)
 
@@ -156,10 +165,11 @@ def colored_icp(
             & (jnp.abs(rmse - prev_rmse) < relative_rmse)
         )
 
-        pt = target_pts[idx]
-        nt = target_normals[idx]
-        dt = tgt_grad[idx]
-        ct = tgt_inten[idx]
+        pk = tgt_packed[idx]                 # (S, 12) one aligned gather
+        pt = pk[:, 0:3]
+        nt = pk[:, 3:6]
+        dt = pk[:, 6:9]
+        ct = pk[:, 9]
         cs = src_inten
 
         # geometric residual + jacobian rows (w.r.t. twist on the moved pts)
