@@ -137,11 +137,70 @@ def voxel_downsample(
     seg_id = jnp.where(valid_s, seg_id, max_out)  # invalid -> overflow bin
     seg_id = jnp.clip(seg_id, 0, max_out)
 
-    # ONE sorted scatter for count + point sums + color sums: three
-    # separate segment_sums cost 3x the scatter overhead (profiled at
-    # 3.9 ms/frame combined); seg_id is nondecreasing by construction
-    # (cumsum of run starts, invalid rows sorted last into the overflow
-    # bin), so indices_are_sorted is exact, not an approximation.
+    # Segment reduction.  Packed path: EXACT int32 prefix sums + one
+    # boundary gather — cheaper than XLA's row-serialized sorted
+    # scatter (measured ~9 ms/call faster at 147k x 7).  The quantized
+    # payload makes integer sums exact: frac <= 1023 so the cumsum
+    # stays < 2^31 up to ~2M points; larger inputs (or the exact-f32
+    # payload paths, where f32 prefix differences would cancel
+    # catastrophically at ~1e7 magnitudes) keep the sorted scatter.
+    n_rows = key_s.shape[0]
+    if packed and n_rows * 1024 < 2**31:
+        v = valid_s.astype(jnp.int32)
+        frac_i = jnp.stack(
+            [(fpack_s >> 20) & 1023, (fpack_s >> 10) & 1023, fpack_s & 1023],
+            axis=1,
+        ) * v[:, None]
+        cols_list = []
+        if cpack_s is not None:
+            cols_list = [
+                jnp.stack(
+                    [(cpack_s >> 16) & 255, (cpack_s >> 8) & 255,
+                     cpack_s & 255],
+                    axis=1,
+                ) * v[:, None]
+            ]
+        payload_i = jnp.concatenate([v[:, None], frac_i] + cols_list, axis=1)
+        csum = jnp.cumsum(payload_i, axis=0)
+        # last row of each segment via unrolled binary search (a while-
+        # loop searchsorted costs ~0.6 ms in pure loop overhead)
+        ends = jnp.searchsorted(
+            seg_id, jnp.arange(max_out), side="right",
+            method="scan_unrolled",
+        ) - 1
+        ends = jnp.clip(ends, 0, n_rows - 1)  # all-invalid: zero rows only
+        at_end = csum[ends]                   # (max_out, C)
+        prev = jnp.concatenate(
+            [jnp.zeros((1, at_end.shape[1]), jnp.int32), at_end[:-1]], axis=0
+        )
+        sums = (at_end - prev).astype(jnp.float32)
+        counts = sums[:, 0]
+        out_mask = counts > 0
+        denom = jnp.maximum(counts, 1.0)
+        # all rows of a segment share the voxel coords encoded in its key
+        key_e = key_s[ends]
+        coords_e = jnp.stack(
+            [
+                (key_e >> (2 * _BITS)) & (_SPAN - 1),
+                (key_e >> _BITS) & (_SPAN - 1),
+                key_e & (_SPAN - 1),
+            ],
+            axis=1,
+        ).astype(jnp.float32)
+        # mean point = origin + (coords + (sum(frac) + 0.5*count) /
+        # (1024*count)) * voxel — identical to averaging reconstructed
+        # per-point positions (they share coords; frac is exact int)
+        out_pts = origin + (
+            coords_e
+            + (sums[:, 1:4] + 0.5 * counts[:, None])
+            / (1024.0 * denom[:, None])
+        ) * voxel_size
+        if cpack_s is not None:
+            out_cols = sums[:, 4:7] / (255.0 * denom[:, None])
+        else:
+            out_cols = jnp.zeros_like(out_pts)
+        return out_pts, out_cols, out_mask
+
     ones = valid_s.astype(points.dtype)
     payload = [ones[:, None], pts_s * ones[:, None]]
     if cols_s is not None:
