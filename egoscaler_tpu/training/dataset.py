@@ -463,3 +463,123 @@ def synthetic_samples(
             )
         )
     return out
+
+
+# ---- language-grounded synthetic corpus ------------------------------------
+
+# object type -> distinctive RGB (the learnable name->appearance mapping)
+STRUCTURED_OBJECTS = {
+    "cup": (0.9, 0.1, 0.1),
+    "bottle": (0.1, 0.8, 0.1),
+    "pan": (0.1, 0.2, 0.9),
+    "wrench": (0.9, 0.8, 0.1),
+    "book": (0.8, 0.1, 0.8),
+    "plate": (0.1, 0.8, 0.8),
+}
+
+# verb -> (translation delta, rotation-vector delta) in camera frame
+STRUCTURED_VERBS = {
+    "pick up": ((0.0, -0.35, 0.0), (0.0, 0.0, 0.0)),
+    "place": ((0.0, 0.30, 0.0), (0.0, 0.0, 0.0)),
+    "push": ((0.0, 0.0, 0.35), (0.0, 0.0, 0.0)),
+    "pull": ((0.0, 0.0, -0.35), (0.0, 0.0, 0.0)),
+    "move": ((0.35, 0.0, 0.0), (0.0, 0.0, 0.0)),
+    "rotate": ((0.0, 0.0, 0.0), (0.0, 1.2, 0.0)),
+}
+
+
+def synthetic_structured_samples(
+    cfg: PointLLMConfig,
+    n: int,
+    seed: int = 0,
+    cluster_points: int = 256,
+    noise: float = 0.004,
+) -> List[TrajSample]:
+    """Language-GROUNDED synthetic corpus: the trajectory is a
+    deterministic function of (verb, named-object position), so held-out
+    validation ADE measures multimodal generalization — the model must
+    locate the named object's color cluster in the point cloud to place
+    the trajectory start, and map the verb to the motion — not
+    memorization (synthetic_samples' trajectories are random walks,
+    unpredictable in principle).
+
+    Scene: a FIXED background lattice (stable pc_norm statistics across
+    samples) + 3 colored object clusters at random positions; the
+    description names one of them.  Same (pcrgb, description,
+    traj_rotvec) sample schema as the on-disk pipeline output
+    (7_get_object_trajectory.py:321-354).
+    """
+    ws = WorkspaceConfig()
+    rng = np.random.default_rng(seed)
+    t_steps = cfg.traj.num_steps
+    npts = max(cfg.point_bert.npoints, 8 * cluster_points)
+
+    # fixed background: identical in every sample => pc_norm is a nearly
+    # constant affine map and object positions stay decodable
+    bg_rng = np.random.default_rng(1234)
+    bg_xyz = np.stack([
+        bg_rng.uniform(ws.min_x, ws.max_x, npts),
+        bg_rng.uniform(ws.min_y, ws.max_y, npts),
+        bg_rng.uniform(0.2, ws.max_z, npts),
+    ], axis=1).astype(np.float32)
+    bg_rgb = np.full((npts, 3), 0.5, np.float32)
+
+    names = list(STRUCTURED_OBJECTS)
+    verbs = list(STRUCTURED_VERBS)
+    ease = 0.5 - 0.5 * np.cos(
+        np.linspace(0.0, np.pi, t_steps, dtype=np.float32)
+    )  # cosine ease 0 -> 1
+
+    out = []
+    for i in range(n):
+        pc = np.concatenate([bg_xyz, bg_rgb], axis=1).copy()
+        picks = rng.choice(len(names), size=3, replace=False)
+        centers = np.stack([
+            rng.uniform(ws.min_x * 0.4, ws.max_x * 0.4, 3),
+            rng.uniform(ws.min_y * 0.4, ws.max_y * 0.4, 3),
+            rng.uniform(1.0, 2.0, 3),
+        ], axis=1).astype(np.float32)
+        for j, (obj_i, c) in enumerate(zip(picks, centers)):
+            sl = slice(j * cluster_points, (j + 1) * cluster_points)
+            pc[sl, :3] = c + rng.normal(
+                scale=0.04, size=(cluster_points, 3)
+            ).astype(np.float32)
+            pc[sl, 3:] = np.asarray(
+                STRUCTURED_OBJECTS[names[obj_i]], np.float32
+            ) + rng.normal(scale=0.02, size=(cluster_points, 3)).astype(
+                np.float32
+            )
+        target = int(rng.integers(0, 3))
+        verb = verbs[int(rng.integers(0, len(verbs)))]
+        dt, dr = STRUCTURED_VERBS[verb]
+        start = centers[target]
+        posn = start[None, :] + ease[:, None] * np.asarray(dt, np.float32)
+        rot = ease[:, None] * np.asarray(dr, np.float32)
+        traj = np.concatenate([posn, rot], axis=1).astype(np.float32)
+        traj += rng.normal(scale=noise, size=traj.shape).astype(np.float32)
+        out.append(
+            TrajSample(
+                description=f"{verb} the {names[picks[target]]}",
+                pcrgb=pc,
+                traj_rotvec=traj,
+                image_id=i,
+            )
+        )
+    return out
+
+
+def mean_predictor_ade(
+    train: Sequence[TrajSample], val: Sequence[TrajSample]
+) -> float:
+    """ADE of always predicting the train-set mean trajectory — the
+    no-grounding baseline a generalizing model must beat."""
+    t = min(s.traj_rotvec.shape[0] for s in list(train) + list(val))
+    mean_traj = np.mean(
+        np.stack([s.traj_rotvec[:t, :3] for s in train]), axis=0
+    )
+    errs = [
+        float(np.mean(np.linalg.norm(s.traj_rotvec[:t, :3] - mean_traj,
+                                     axis=-1)))
+        for s in val
+    ]
+    return float(np.mean(errs))
