@@ -487,6 +487,14 @@ STRUCTURED_VERBS = {
     "rotate": ((0.0, 0.0, 0.0), (0.0, 1.2, 0.0)),
 }
 
+# transfer template: the trajectory ENDS at the second named object's
+# cluster.  The reference prompt layout hands the model waypoint 0 (the
+# prompt/answer split sits at the first <tsep>, dataset.py:150-194), so
+# single-object verbs only test text->motion mapping; the endpoint of a
+# transfer depends on where object B sits in the POINT CLOUD — the part
+# generation must ground visually.
+STRUCTURED_TRANSFER_TEMPLATE = "move the {a} onto the {b}"
+
 
 def synthetic_structured_samples(
     cfg: PointLLMConfig,
@@ -494,20 +502,27 @@ def synthetic_structured_samples(
     seed: int = 0,
     cluster_points: int = 256,
     noise: float = 0.004,
+    transfer_fraction: float = 0.5,
 ) -> List[TrajSample]:
     """Language-GROUNDED synthetic corpus: the trajectory is a
-    deterministic function of (verb, named-object position), so held-out
-    validation ADE measures multimodal generalization — the model must
-    locate the named object's color cluster in the point cloud to place
-    the trajectory start, and map the verb to the motion — not
-    memorization (synthetic_samples' trajectories are random walks,
-    unpredictable in principle).
+    deterministic function of the named objects' cluster positions and
+    the verb, so held-out validation error measures multimodal
+    generalization, not memorization (synthetic_samples' trajectories
+    are random walks, unpredictable in principle).
+
+    Two sample kinds:
+    * single-object verbs ("push the cup"): motion delta from
+      STRUCTURED_VERBS — tests text->motion mapping (waypoint 0 is in
+      the prompt under the reference split, so start position is given);
+    * transfers ("move the cup onto the plate", `transfer_fraction` of
+      samples): the trajectory ends at object B's cluster — the endpoint
+      exists nowhere in the text tokens and must be READ OFF THE POINT
+      CLOUD; FDE on these samples is the visual-grounding metric.
 
     Scene: a FIXED background lattice (stable pc_norm statistics across
-    samples) + 3 colored object clusters at random positions; the
-    description names one of them.  Same (pcrgb, description,
-    traj_rotvec) sample schema as the on-disk pipeline output
-    (7_get_object_trajectory.py:321-354).
+    samples) + 3 colored object clusters at random positions.  Same
+    (pcrgb, description, traj_rotvec) sample schema as the on-disk
+    pipeline output (7_get_object_trajectory.py:321-354).
     """
     ws = WorkspaceConfig()
     rng = np.random.default_rng(seed)
@@ -550,16 +565,26 @@ def synthetic_structured_samples(
                 np.float32
             )
         target = int(rng.integers(0, 3))
-        verb = verbs[int(rng.integers(0, len(verbs)))]
-        dt, dr = STRUCTURED_VERBS[verb]
         start = centers[target]
-        posn = start[None, :] + ease[:, None] * np.asarray(dt, np.float32)
-        rot = ease[:, None] * np.asarray(dr, np.float32)
+        if rng.random() < transfer_fraction:
+            other = int((target + 1 + rng.integers(0, 2)) % 3)
+            end = centers[other]
+            desc = STRUCTURED_TRANSFER_TEMPLATE.format(
+                a=names[picks[target]], b=names[picks[other]]
+            )
+            posn = start[None, :] + ease[:, None] * (end - start)[None, :]
+            rot = np.zeros((t_steps, 3), np.float32)
+        else:
+            verb = verbs[int(rng.integers(0, len(verbs)))]
+            dt, dr = STRUCTURED_VERBS[verb]
+            desc = f"{verb} the {names[picks[target]]}"
+            posn = start[None, :] + ease[:, None] * np.asarray(dt, np.float32)
+            rot = ease[:, None] * np.asarray(dr, np.float32)
         traj = np.concatenate([posn, rot], axis=1).astype(np.float32)
         traj += rng.normal(scale=noise, size=traj.shape).astype(np.float32)
         out.append(
             TrajSample(
-                description=f"{verb} the {names[picks[target]]}",
+                description=desc,
                 pcrgb=pc,
                 traj_rotvec=traj,
                 image_id=i,
@@ -583,3 +608,19 @@ def mean_predictor_ade(
         for s in val
     ]
     return float(np.mean(errs))
+
+
+def repeat_wp0_baseline(val: Sequence[TrajSample]) -> dict:
+    """{ade, fde} of predicting waypoint 0 repeated for the whole
+    trajectory.  Waypoint 0 sits inside the prompt (the prompt/answer
+    split is at the first <tsep>, reference dataset.py:150-194), so this
+    is the strongest baseline available WITHOUT reading the point cloud
+    or the verb; beating its FDE on transfer samples demonstrates visual
+    grounding of the endpoint."""
+    ades, fdes = [], []
+    for s in val:
+        pos = s.traj_rotvec[:, :3]
+        err = np.linalg.norm(pos - pos[0:1], axis=-1)
+        ades.append(float(err.mean()))
+        fdes.append(float(err[-1]))
+    return {"ade": float(np.mean(ades)), "fde": float(np.mean(fdes))}

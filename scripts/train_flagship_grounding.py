@@ -50,6 +50,7 @@ def main():
         BatchLayout,
         TrajectoryDataset,
         mean_predictor_ade,
+        repeat_wp0_baseline,
         synthetic_structured_samples,
     )
     from egoscaler_tpu.training.evaluate import evaluate
@@ -63,11 +64,18 @@ def main():
     )
     train_s = synthetic_structured_samples(cfg, args.train_n, seed=0)
     val_s = synthetic_structured_samples(cfg, args.val_n, seed=10_000)
+    transfer_s = [s for s in val_s if " onto " in s.description]
     baseline = mean_predictor_ade(train_s, val_s)
-    print(f"mean-predictor baseline ADE {baseline:.4f}", flush=True)
+    wp0_all = repeat_wp0_baseline(val_s)
+    wp0_transfer = repeat_wp0_baseline(transfer_s)
+    print(f"baselines: mean-pred ADE {baseline:.4f}; repeat-wp0 "
+          f"ade/fde {wp0_all} (transfer subset {wp0_transfer})", flush=True)
 
     tds = TrajectoryDataset(cfg, samples=train_s, seed=0)
     vds = TrajectoryDataset(cfg, samples=val_s, seed=1)
+    # endpoint-grounding probe: FDE here requires reading object B's
+    # position off the point cloud (it appears nowhere in the text)
+    xds = TrajectoryDataset(cfg, samples=transfer_s, seed=2)
     model = TrajPointLLM(cfg, remat=not args.tiny)
     tcfg = TrainConfig(
         batch_size=args.bs, lr=args.lr, unfreeze_pc_encoder=True
@@ -101,9 +109,14 @@ def main():
                 model, state.full_params(), vds, batch_size=args.bs,
                 do_sample=False,
             )
+            xs = evaluate(
+                model, state.full_params(), xds, batch_size=args.bs,
+                do_sample=False,
+            )
             rec = {"epoch": epoch, "step": int(state.step),
                    "train_loss": float(np.mean(losses[-steps_per_epoch:])),
-                   **{k: float(v) for k, v in s.items()}}
+                   **{k: float(v) for k, v in s.items()},
+                   **{f"transfer_{k}": float(v) for k, v in xs.items()}}
             history.append(rec)
             print(f"  val: {rec}", flush=True)
             if rec.get("ade", float("inf")) < best["ade"]:
@@ -111,12 +124,19 @@ def main():
 
     out = {
         "task": "language-grounded trajectory generation "
-                "(verb x object-cluster position -> 6DoF)",
+                "(verbs + 'move A onto B' transfers -> 6DoF)",
         "model": "tiny" if args.tiny else "flagship_tpu (1.1B)",
         "train_samples": args.train_n,
         "val_samples": args.val_n,
+        "transfer_val_samples": len(transfer_s),
         "steps": int(state.step),
-        "baseline_mean_predictor_ade": round(baseline, 4),
+        "baselines": {
+            "mean_predictor_ade": round(baseline, 4),
+            "repeat_wp0": {k: round(v, 4) for k, v in wp0_all.items()},
+            "repeat_wp0_transfer": {
+                k: round(v, 4) for k, v in wp0_transfer.items()
+            },
+        },
         "best_val": {k: round(v, 4) for k, v in best.items()},
         "history": history,
         "wall_s": round(time.time() - t0, 1),

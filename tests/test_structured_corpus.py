@@ -28,31 +28,47 @@ def test_schema_and_determinism():
         np.testing.assert_array_equal(sa.traj_rotvec, sb.traj_rotvec)
         assert sa.pcrgb.ndim == 2 and sa.pcrgb.shape[1] == 6
         assert sa.traj_rotvec.shape == (cfg.traj.num_steps, 6)
-        verb = next(v for v in STRUCTURED_VERBS if sa.description.startswith(v))
         obj = sa.description.split()[-1]
         assert obj in STRUCTURED_OBJECTS
+        if " onto " not in sa.description:
+            assert any(sa.description.startswith(v) for v in STRUCTURED_VERBS)
 
 
-def test_trajectory_grounded_in_named_cluster():
-    """The trajectory starts at the named object's color cluster and
-    moves by the verb's delta — the property that makes the task
-    solvable from (point cloud, description) alone."""
+def _cluster_center(s, obj):
+    color = np.asarray(STRUCTURED_OBJECTS[obj])
+    d = np.linalg.norm(s.pcrgb[:, 3:] - color, axis=1)
+    cluster = s.pcrgb[d < 0.15, :3]
+    assert cluster.shape[0] >= 64, f"cluster for {obj} missing"
+    return cluster.mean(axis=0)
+
+
+def test_trajectory_grounded_in_named_clusters():
+    """Single-object samples: start at the named cluster, end displaced
+    by the verb delta.  Transfer samples: start at cluster A, END at
+    cluster B — the endpoint exists only in the point cloud, which is
+    what makes transfer FDE a visual-grounding metric."""
     cfg = PointLLMConfig().tiny()
-    samples = synthetic_structured_samples(cfg, 16, seed=3, noise=0.0)
+    samples = synthetic_structured_samples(cfg, 24, seed=3, noise=0.0)
+    saw_transfer = saw_verb = False
     for s in samples:
-        obj = s.description.split()[-1]
-        color = np.asarray(STRUCTURED_OBJECTS[obj])
-        d = np.linalg.norm(s.pcrgb[:, 3:] - color, axis=1)
-        cluster = s.pcrgb[d < 0.15, :3]
-        assert cluster.shape[0] >= 64, "named cluster missing"
-        center = cluster.mean(axis=0)
         start = s.traj_rotvec[0, :3]
-        assert np.linalg.norm(start - center) < 0.05, (start, center)
-        verb = next(v for v in STRUCTURED_VERBS if s.description.startswith(v))
-        dt, dr = STRUCTURED_VERBS[verb]
-        end_delta = s.traj_rotvec[-1, :3] - s.traj_rotvec[0, :3]
-        np.testing.assert_allclose(end_delta, dt, atol=0.02)
-        np.testing.assert_allclose(s.traj_rotvec[-1, 3:], dr, atol=0.02)
+        end = s.traj_rotvec[-1, :3]
+        if " onto " in s.description:
+            saw_transfer = True
+            words = s.description.split()
+            a, b = words[2], words[-1]
+            assert np.linalg.norm(start - _cluster_center(s, a)) < 0.05
+            assert np.linalg.norm(end - _cluster_center(s, b)) < 0.05
+        else:
+            saw_verb = True
+            obj = s.description.split()[-1]
+            assert np.linalg.norm(start - _cluster_center(s, obj)) < 0.05
+            verb = next(v for v in STRUCTURED_VERBS
+                        if s.description.startswith(v))
+            dt, dr = STRUCTURED_VERBS[verb]
+            np.testing.assert_allclose(end - start, dt, atol=0.02)
+            np.testing.assert_allclose(s.traj_rotvec[-1, 3:], dr, atol=0.02)
+    assert saw_transfer and saw_verb
 
 
 def test_fixed_background_across_samples():
@@ -80,3 +96,16 @@ def test_batches_encode():
     b = next(ds.batches(4, shuffle=False))
     assert b["input_ids"].shape[0] == 4
     assert np.isfinite(b["point_clouds"]).all()
+
+
+def test_repeat_wp0_baseline_fails_on_transfers():
+    from egoscaler_tpu.training.dataset import repeat_wp0_baseline
+
+    cfg = PointLLMConfig().tiny()
+    val = synthetic_structured_samples(cfg, 48, seed=2)
+    transfer = [s for s in val if " onto " in s.description]
+    assert len(transfer) >= 8
+    b = repeat_wp0_baseline(transfer)
+    # endpoints are other clusters spread over the workspace: copying
+    # wp0 must miss them badly
+    assert b["fde"] > 0.4, b
