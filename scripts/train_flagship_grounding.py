@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--eval_every", type=int, default=4)
     ap.add_argument("--out", default="GROUNDING_FLAGSHIP.json")
+    ap.add_argument("--unfreeze_lm", action="store_true",
+                    help="train the LLM trunk too (required for grounding "
+                         "from RANDOM init: the reference freeze recipe "
+                         "presumes pretrained LLaMA weights)")
     args = ap.parse_args()
 
     import jax
@@ -78,7 +82,8 @@ def main():
     xds = TrajectoryDataset(cfg, samples=transfer_s, seed=2)
     model = TrajPointLLM(cfg, remat=not args.tiny)
     tcfg = TrainConfig(
-        batch_size=args.bs, lr=args.lr, unfreeze_pc_encoder=True
+        batch_size=args.bs, lr=args.lr, unfreeze_pc_encoder=True,
+        unfreeze_language_model=args.unfreeze_lm,
     )
     lay = BatchLayout(cfg)
     steps_per_epoch = len(tds) // args.bs
@@ -87,9 +92,39 @@ def main():
     sample = next(tds.batches(args.bs, shuffle=False))
     sample = {k: jnp.asarray(v) for k, v in sample.items()
               if k in ("input_ids", "attention_mask", "point_clouds")}
-    state, tx = create_train_state(
-        model, tcfg, jax.random.PRNGKey(42), sample, total_steps
-    )
+    if args.unfreeze_lm and not args.tiny:
+        # full-unfreeze Adam at 1.1B f32 needs ~21 GB (params 4.4 +
+        # moments 8.8 + grads + activations) vs 15.75 GB HBM: train in
+        # bf16 end-to-end, the reference's precision for this family
+        # anyway (train.py:91-104 bf16).  Cast params BEFORE the
+        # optimizer init so the f32 moments never materialize.
+        from egoscaler_tpu.training.trainer import (
+            TrainState,
+            frozen_patterns,
+            make_optimizer,
+            partition_params,
+        )
+
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(42),
+            sample["input_ids"], sample["point_clouds"],
+        )
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, variables
+        )
+        trainable, frozen = partition_params(
+            variables, frozen_patterns(tcfg)
+        )
+        tx = make_optimizer(tcfg, total_steps)
+        state = TrainState(
+            trainable, frozen, tx.init(trainable),
+            jnp.asarray(0, jnp.int32),
+        )
+    else:
+        state, tx = create_train_state(
+            model, tcfg, jax.random.PRNGKey(42), sample, total_steps
+        )
     step_fn = make_train_step(model, tx, lay.prompt_len, 1)
 
     history = []
@@ -140,8 +175,9 @@ def main():
         "best_val": {k: round(v, 4) for k, v in best.items()},
         "history": history,
         "wall_s": round(time.time() - t0, 1),
-        "recipe": "unfreeze_pc_encoder=True (no pretrained PointBERT on "
-                  "this host), lr {:g}, bs {}".format(args.lr, args.bs),
+        "recipe": "unfreeze_pc_encoder=True, unfreeze_lm={} (no "
+                  "pretrained weights on this zero-egress host), lr {:g}, "
+                  "bs {}".format(args.unfreeze_lm, args.lr, args.bs),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
