@@ -64,6 +64,7 @@ def pipeline_apply(
     mesh: Mesh,
     num_microbatches: int,
     axis: str = "pipe",
+    data_axis: str | None = None,
 ) -> jax.Array:
     """Run a layer stack as a GPipe pipeline over mesh axis `axis`.
 
@@ -80,6 +81,13 @@ def pipeline_apply(
     Returns (batch, ...) outputs, replicated over `axis` (the last
     stage's results are psum-broadcast so downstream code — lm_head,
     loss — can run without caring which stage it lives on).
+
+    data_axis: optional second mesh axis to shard each MICROBATCH over
+    (data parallelism composed with the pipeline: every `data` slice
+    runs the same schedule on its shard of the batch; params stay
+    replicated over `data`, so gradient psum over `data` outside this
+    call gives DDP semantics).  The per-device microbatch size must
+    divide by mesh.shape[data_axis].
     """
     num_stages = mesh.shape[axis]
     batch = inputs.shape[0]
@@ -155,12 +163,14 @@ def pipeline_apply(
         return jax.lax.psum(out * mask, axis)
 
     pspec = stage_param_specs(stacked_params, axis)
-    rep = P()
+    # microbatch dim 0 stays whole on every device; the per-microbatch
+    # batch dim 1 is optionally sharded over the data axis
+    io = P(None, data_axis) if data_axis else P()
     out_mb = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(pspec, rep) + tuple(rep for _ in extras),
-        out_specs=rep,
+        in_specs=(pspec, io) + tuple(io for _ in extras),
+        out_specs=io,
         check_vma=False,
     )(stacked_params, x_mb, *ex_mb)
     return out_mb.reshape((batch,) + out_mb.shape[2:])

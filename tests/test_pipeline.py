@@ -134,3 +134,25 @@ class TestLlamaPipeline:
         np.testing.assert_allclose(
             np.asarray(piped), np.asarray(dense), rtol=2e-4, atol=2e-4
         )
+
+
+class TestPipelineWithDataAxis:
+    def test_dp_pp_composition(self):
+        """Pipeline over `pipe` with microbatches sharded over `data`:
+        same numbers as the serial loop (DDP x GPipe on one mesh)."""
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("need 8 devices")
+        mesh = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("pipe", "data"))
+        d, n_layers, batch = 16, 8, 8
+        layers = make_simple_stack(jax.random.PRNGKey(9), n_layers, d)
+        x = jax.random.normal(jax.random.PRNGKey(10), (batch, d))
+        ref = x
+        for lp in layers:
+            ref = simple_layer(lp, ref)
+        out = pipeline_apply(
+            simple_layer, stack_layer_params(layers, 4), x,
+            mesh=mesh, num_microbatches=2, data_axis="data",
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
