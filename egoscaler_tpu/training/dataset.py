@@ -495,6 +495,96 @@ STRUCTURED_VERBS = {
 # generation must ground visually.
 STRUCTURED_TRANSFER_TEMPLATE = "move the {a} onto the {b}"
 
+# locate template (alignment pretraining): the trajectory goes from a
+# FIXED origin to the named object's cluster, so waypoint 0 (which the
+# prompt layout reveals) is uninformative and the ENDPOINT must be read
+# off the point cloud — dense name->position supervision, the
+# zero-egress analogue of PointLLM stage-1 caption alignment
+# (pointllm/train/train.py:118-168 trains the projector against
+# language supervision before instruction tuning).
+STRUCTURED_LOCATE_TEMPLATE = "point to the {a}"
+LOCATE_ORIGIN = (0.0, 0.0, 1.5)
+
+
+def _structured_scene(rng, ws: WorkspaceConfig, npts: int,
+                      cluster_points: int):
+    """Fixed background lattice + 3 colored clusters at random positions.
+
+    Returns (pcrgb (npts,6), picks (3,) name indices, centers (3,3)).
+    The background is identical across samples so pc_norm is a nearly
+    constant affine map and cluster positions stay decodable."""
+    bg_rng = np.random.default_rng(1234)
+    bg_xyz = np.stack([
+        bg_rng.uniform(ws.min_x, ws.max_x, npts),
+        bg_rng.uniform(ws.min_y, ws.max_y, npts),
+        bg_rng.uniform(0.2, ws.max_z, npts),
+    ], axis=1).astype(np.float32)
+    pc = np.concatenate(
+        [bg_xyz, np.full((npts, 3), 0.5, np.float32)], axis=1
+    )
+    names = list(STRUCTURED_OBJECTS)
+    picks = rng.choice(len(names), size=3, replace=False)
+    centers = np.stack([
+        rng.uniform(ws.min_x * 0.4, ws.max_x * 0.4, 3),
+        rng.uniform(ws.min_y * 0.4, ws.max_y * 0.4, 3),
+        rng.uniform(1.0, 2.0, 3),
+    ], axis=1).astype(np.float32)
+    for j, (obj_i, c) in enumerate(zip(picks, centers)):
+        sl = slice(j * cluster_points, (j + 1) * cluster_points)
+        pc[sl, :3] = c + rng.normal(
+            scale=0.04, size=(cluster_points, 3)
+        ).astype(np.float32)
+        pc[sl, 3:] = np.asarray(
+            STRUCTURED_OBJECTS[names[obj_i]], np.float32
+        ) + rng.normal(scale=0.02, size=(cluster_points, 3)).astype(
+            np.float32
+        )
+    return pc, picks, centers
+
+
+def synthetic_locate_samples(
+    cfg: PointLLMConfig,
+    n: int,
+    seed: int = 0,
+    cluster_points: int = 256,
+    noise: float = 0.004,
+) -> List[TrajSample]:
+    """Alignment-pretraining corpus: "point to the {name}" samples whose
+    trajectory eases from the FIXED ``LOCATE_ORIGIN`` to the named
+    cluster's center.  FDE on held-out locate samples measures exactly
+    the name->position readout that transfer endpoints need; training on
+    it first is the stage-1 analogue of PointLLM caption alignment
+    (builder.py:10-30 loads that pretrained alignment; zero-egress hosts
+    must learn it)."""
+    ws = WorkspaceConfig()
+    rng = np.random.default_rng(seed)
+    t_steps = cfg.traj.num_steps
+    npts = max(cfg.point_bert.npoints, 8 * cluster_points)
+    names = list(STRUCTURED_OBJECTS)
+    ease = 0.5 - 0.5 * np.cos(
+        np.linspace(0.0, np.pi, t_steps, dtype=np.float32)
+    )
+    origin = np.asarray(LOCATE_ORIGIN, np.float32)
+
+    out = []
+    for i in range(n):
+        pc, picks, centers = _structured_scene(rng, ws, npts, cluster_points)
+        target = int(rng.integers(0, 3))
+        desc = STRUCTURED_LOCATE_TEMPLATE.format(a=names[picks[target]])
+        posn = origin[None, :] + ease[:, None] * (
+            centers[target] - origin
+        )[None, :]
+        traj = np.concatenate(
+            [posn, np.zeros((t_steps, 3), np.float32)], axis=1
+        ).astype(np.float32)
+        traj += rng.normal(scale=noise, size=traj.shape).astype(np.float32)
+        out.append(
+            TrajSample(
+                description=desc, pcrgb=pc, traj_rotvec=traj, image_id=i
+            )
+        )
+    return out
+
 
 def synthetic_structured_samples(
     cfg: PointLLMConfig,
@@ -529,16 +619,6 @@ def synthetic_structured_samples(
     t_steps = cfg.traj.num_steps
     npts = max(cfg.point_bert.npoints, 8 * cluster_points)
 
-    # fixed background: identical in every sample => pc_norm is a nearly
-    # constant affine map and object positions stay decodable
-    bg_rng = np.random.default_rng(1234)
-    bg_xyz = np.stack([
-        bg_rng.uniform(ws.min_x, ws.max_x, npts),
-        bg_rng.uniform(ws.min_y, ws.max_y, npts),
-        bg_rng.uniform(0.2, ws.max_z, npts),
-    ], axis=1).astype(np.float32)
-    bg_rgb = np.full((npts, 3), 0.5, np.float32)
-
     names = list(STRUCTURED_OBJECTS)
     verbs = list(STRUCTURED_VERBS)
     ease = 0.5 - 0.5 * np.cos(
@@ -547,23 +627,7 @@ def synthetic_structured_samples(
 
     out = []
     for i in range(n):
-        pc = np.concatenate([bg_xyz, bg_rgb], axis=1).copy()
-        picks = rng.choice(len(names), size=3, replace=False)
-        centers = np.stack([
-            rng.uniform(ws.min_x * 0.4, ws.max_x * 0.4, 3),
-            rng.uniform(ws.min_y * 0.4, ws.max_y * 0.4, 3),
-            rng.uniform(1.0, 2.0, 3),
-        ], axis=1).astype(np.float32)
-        for j, (obj_i, c) in enumerate(zip(picks, centers)):
-            sl = slice(j * cluster_points, (j + 1) * cluster_points)
-            pc[sl, :3] = c + rng.normal(
-                scale=0.04, size=(cluster_points, 3)
-            ).astype(np.float32)
-            pc[sl, 3:] = np.asarray(
-                STRUCTURED_OBJECTS[names[obj_i]], np.float32
-            ) + rng.normal(scale=0.02, size=(cluster_points, 3)).astype(
-                np.float32
-            )
+        pc, picks, centers = _structured_scene(rng, ws, npts, cluster_points)
         target = int(rng.integers(0, 3))
         start = centers[target]
         if rng.random() < transfer_fraction:

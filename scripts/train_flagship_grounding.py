@@ -41,6 +41,18 @@ def main():
                     help="train the LLM trunk too (required for grounding "
                          "from RANDOM init: the reference freeze recipe "
                          "presumes pretrained LLaMA weights)")
+    ap.add_argument("--align_epochs", type=int, default=0,
+                    help="stage-1-style alignment pretraining: N epochs on "
+                         "the 'point to the X' locate corpus before the "
+                         "trajectory fine-tune (PointLLM two-stage recipe, "
+                         "pointllm/train/train.py:118-168)")
+    ap.add_argument("--align_n", type=int, default=8192,
+                    help="locate-corpus size for the alignment stage")
+    ap.add_argument("--align_lr", type=float, default=4e-4)
+    ap.add_argument("--locate_mix", type=float, default=0.0,
+                    help="fraction of locate samples MIXED into the "
+                         "fine-tune corpus (multi-task alternative to the "
+                         "two-stage recipe)")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +67,7 @@ def main():
         TrajectoryDataset,
         mean_predictor_ade,
         repeat_wp0_baseline,
+        synthetic_locate_samples,
         synthetic_structured_samples,
     )
     from egoscaler_tpu.training.evaluate import evaluate
@@ -67,6 +80,9 @@ def main():
         PointLLMConfig().flagship_tpu()
     )
     train_s = synthetic_structured_samples(cfg, args.train_n, seed=0)
+    if args.locate_mix > 0.0:
+        n_loc = int(args.train_n * args.locate_mix)
+        train_s = train_s + synthetic_locate_samples(cfg, n_loc, seed=77)
     val_s = synthetic_structured_samples(cfg, args.val_n, seed=10_000)
     transfer_s = [s for s in val_s if " onto " in s.description]
     baseline = mean_predictor_ade(train_s, val_s)
@@ -127,9 +143,55 @@ def main():
         )
     step_fn = make_train_step(model, tx, lay.prompt_len, 1)
 
+    t0 = time.time()
+    align_history = []
+    if args.align_epochs > 0:
+        # ---- stage 1 analogue: dense name->position alignment ----
+        from egoscaler_tpu.training.trainer import TrainState, make_optimizer
+        import dataclasses as _dc
+
+        loc_train = TrajectoryDataset(
+            cfg, samples=synthetic_locate_samples(cfg, args.align_n, seed=1),
+            seed=3,
+        )
+        loc_val = TrajectoryDataset(
+            cfg, samples=synthetic_locate_samples(cfg, 64, seed=20_000),
+            seed=4,
+        )
+        a_steps_per_epoch = len(loc_train) // args.bs
+        a_total = a_steps_per_epoch * args.align_epochs
+        tx_a = make_optimizer(_dc.replace(tcfg, lr=args.align_lr), a_total)
+        step_fn_a = make_train_step(model, tx_a, lay.prompt_len, 1)
+        state = TrainState(
+            state.trainable, state.frozen, tx_a.init(state.trainable),
+            jnp.asarray(0, jnp.int32),
+        )
+        a_losses = []
+        for epoch in range(args.align_epochs):
+            for batch in loc_train.batches(args.bs, shuffle=True):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k in ("input_ids", "attention_mask",
+                                  "point_clouds")}
+                state, m = step_fn_a(state, batch)
+                a_losses.append(float(m["loss"]))
+            rec = {"epoch": epoch,
+                   "train_loss": float(np.mean(a_losses[-a_steps_per_epoch:]))}
+            if (epoch + 1) % args.eval_every == 0 or (
+                    epoch == args.align_epochs - 1):
+                s = evaluate(model, state.full_params(), loc_val,
+                             batch_size=args.bs, do_sample=False)
+                rec.update({f"locate_{k}": float(v) for k, v in s.items()})
+            align_history.append(rec)
+            print(f"align epoch {epoch}: {rec} ({time.time() - t0:.0f}s)",
+                  flush=True)
+        # fresh optimizer + schedule for the trajectory fine-tune
+        state = TrainState(
+            state.trainable, state.frozen, tx.init(state.trainable),
+            jnp.asarray(0, jnp.int32),
+        )
+
     history = []
     best = {"ade": float("inf")}
-    t0 = time.time()
     losses = []
     for epoch in range(args.epochs):
         for batch in tds.batches(args.bs, shuffle=True):
@@ -174,10 +236,14 @@ def main():
         },
         "best_val": {k: round(v, 4) for k, v in best.items()},
         "history": history,
+        "align_history": align_history,
         "wall_s": round(time.time() - t0, 1),
         "recipe": "unfreeze_pc_encoder=True, unfreeze_lm={} (no "
                   "pretrained weights on this zero-egress host), lr {:g}, "
-                  "bs {}".format(args.unfreeze_lm, args.lr, args.bs),
+                  "bs {}, align_epochs {} x {} locate samples (stage-1 "
+                  "alignment analogue), locate_mix {:g}".format(
+                      args.unfreeze_lm, args.lr, args.bs,
+                      args.align_epochs, args.align_n, args.locate_mix),
     }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)

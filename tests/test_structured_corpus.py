@@ -98,6 +98,46 @@ def test_batches_encode():
     assert np.isfinite(b["point_clouds"]).all()
 
 
+def test_locate_corpus_grounds_endpoint_only():
+    """Alignment-pretrain samples: wp0 is the FIXED origin (so the
+    prompt reveals nothing) and the endpoint is the named cluster —
+    dense name->position supervision for the stage-1 analogue."""
+    from egoscaler_tpu.training.dataset import (
+        LOCATE_ORIGIN,
+        synthetic_locate_samples,
+    )
+
+    cfg = PointLLMConfig().tiny()
+    a = synthetic_locate_samples(cfg, 12, seed=9, noise=0.0)
+    b = synthetic_locate_samples(cfg, 12, seed=9, noise=0.0)
+    for sa, sb in zip(a, b):
+        assert sa.description == sb.description
+        np.testing.assert_array_equal(sa.pcrgb, sb.pcrgb)
+        assert sa.description.startswith("point to the ")
+        obj = sa.description.split()[-1]
+        assert obj in STRUCTURED_OBJECTS
+        np.testing.assert_allclose(
+            sa.traj_rotvec[0, :3], LOCATE_ORIGIN, atol=1e-6
+        )
+        end = sa.traj_rotvec[-1, :3]
+        assert np.linalg.norm(end - _cluster_center(sa, obj)) < 0.05
+        np.testing.assert_array_equal(
+            sa.traj_rotvec[:, 3:], np.zeros_like(sa.traj_rotvec[:, 3:])
+        )
+
+
+def test_locate_scene_distribution_matches_structured():
+    """Both corpora share _structured_scene: same background lattice and
+    the same cluster geometry statistics (the fine-tune sees no scene
+    distribution shift after alignment pretraining)."""
+    from egoscaler_tpu.training.dataset import synthetic_locate_samples
+
+    cfg = PointLLMConfig().tiny()
+    loc = synthetic_locate_samples(cfg, 2, seed=0)[0]
+    st = synthetic_structured_samples(cfg, 2, seed=0)[0]
+    np.testing.assert_array_equal(loc.pcrgb[3 * 256:], st.pcrgb[3 * 256:])
+
+
 def test_repeat_wp0_baseline_fails_on_transfers():
     from egoscaler_tpu.training.dataset import repeat_wp0_baseline
 
