@@ -1,0 +1,228 @@
+"""Run the FULL 7B PointLLM on the one real TPU chip: measured decode
+throughput, and (frozen-backbone recipe) a measured train step.
+
+The reference flagship is PointLLM-7B (builder.py:10
+RunsenXu/PointLLM_7B_v1.2); its harness needs a multi-GPU node even for
+the frozen recipe (train.py:119-125 DeepSpeed across ranks,
+scripts 8xGPU).  Here the 7B trunk runs on ONE chip:
+
+* params materialize directly in bf16 ON DEVICE, leaf by leaf inside a
+  single jitted program (12.6 GiB; a host-side f32 init would need
+  25 GiB and never fit);
+* generate: KV-cached jitted decode (evaluate.py path) at the dataset
+  layout (prompt 544, 139 new tokens);
+* train: the reference freeze recipe (model_arch.py:33-51 — LLM layers
+  + point backbone frozen, embeddings/projector/head trainable), so
+  grads + Adam moments exist only for the small trainable subtree; bf16
+  params + moments like the bf16 DeepSpeed config (train.py:91-104).
+
+Timing is per-call host-fetched scalars (medians) — see CLAUDE.md on
+relay-honest measurement.  Weights are random (zero-egress host):
+throughput is shape-dependent, not weight-dependent.
+
+Usage:  python scripts/run_7b_chip.py [--bs 4] [--mode both]
+Writes: RUN_7B_CHIP.json at the repo root.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fetch_scalar(x) -> float:
+    return float(np.asarray(x).ravel()[0])
+
+
+def timed(label, fn, iters=5):
+    fetch_scalar(fn())  # compile + warmup
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fetch_scalar(fn())
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts))
+    print(f"  {label}: {med * 1e3:.1f} ms", file=sys.stderr, flush=True)
+    return med
+
+
+def leafwise_bf16_params(model, example_ids, example_pc):
+    """Materialize the param tree in bf16 directly on device: one jitted
+    program emitting every leaf (peak = final tree size, no f32 copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, example_ids, example_pc),
+        jax.random.PRNGKey(0),
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def make(key):
+        outs = []
+        for i, s in enumerate(leaves):
+            if jnp.issubdtype(s.dtype, jnp.floating):
+                kk = jax.random.fold_in(key, i)
+                outs.append(
+                    0.02 * jax.random.normal(kk, s.shape, jnp.bfloat16)
+                )
+            else:
+                outs.append(jnp.zeros(s.shape, s.dtype))
+        return outs
+
+    out_leaves = jax.block_until_ready(make(jax.random.PRNGKey(1)))
+    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--mode", choices=["generate", "train", "both"],
+                    default="both")
+    ap.add_argument("--gen_tokens", type=int, default=0,
+                    help="0 = the dataset answer length (139)")
+    ap.add_argument("--train_bs", type=int, default=0,
+                    help="0 = same as --bs")
+    ap.add_argument("--out", default="RUN_7B_CHIP.json")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config on CPU (smoke test of this script)")
+    args = ap.parse_args()
+
+    import jax
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.configs import PointLLMConfig, TrainConfig
+    from egoscaler_tpu.models.pointllm import (
+        GenerateConfig,
+        TrajPointLLM,
+        generate,
+    )
+    from egoscaler_tpu.training.dataset import BatchLayout
+    from egoscaler_tpu.training.trainer import (
+        TrainState,
+        frozen_patterns,
+        make_optimizer,
+        make_train_step,
+        partition_params,
+    )
+
+    cfg = PointLLMConfig().tiny() if args.tiny else PointLLMConfig()
+    lay = BatchLayout(cfg)
+    model = TrajPointLLM(cfg, remat=not args.tiny)
+    n_params = None
+
+    results = {
+        "model": "PointLLM-7B (LLaMA-7B trunk + PointBERT), bf16",
+        "device": str(jax.devices()[0]),
+        "prompt_len": lay.prompt_len,
+        "answer_len": lay.answer_len,
+    }
+
+    ids1 = np.full((1, lay.prompt_len), 5, np.int32)
+    ids1[0, 1:1 + cfg.point_bert.point_token_len] = cfg.point_patch_token_id
+    ids1[0, 0] = cfg.point_start_token_id
+    pc1 = jnp.zeros((1, cfg.point_bert.npoints, 6), jnp.float32)
+
+    print("materializing 7B params in bf16 on device ...", flush=True)
+    t0 = time.time()
+    params = leafwise_bf16_params(model, jnp.asarray(ids1), pc1)
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(params)
+    )
+    results["n_params"] = int(n_params)
+    results["params_gib"] = round(
+        sum(x.size * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(params)) / 2**30, 3
+    )
+    print(f"  {n_params/1e9:.2f}B params, {results['params_gib']} GiB, "
+          f"{time.time()-t0:.0f}s", flush=True)
+
+    if args.mode in ("generate", "both"):
+        bs = args.bs
+        new_tokens = args.gen_tokens or lay.answer_len
+        gen_cfg = GenerateConfig(max_new_tokens=new_tokens, do_sample=False)
+        ids = jnp.asarray(np.tile(ids1, (bs, 1)))
+        mask = jnp.ones((bs, lay.prompt_len), bool)
+        pc = jnp.zeros((bs, cfg.point_bert.npoints, 6), jnp.float32)
+        key = jax.random.PRNGKey(0)
+
+        gen_fn = jax.jit(
+            lambda p, i, m, c, k: jnp.sum(
+                generate(model, p, i, m, c, k, gen_cfg)[0]
+            )
+        )
+        print(f"compiling 7B generate (bs {bs}, {new_tokens} new tokens) ...",
+              flush=True)
+        med = timed(f"7B generate bs{bs} x{new_tokens}tok",
+                    lambda: gen_fn(params, ids, mask, pc, key), iters=3)
+        tok_s = bs * new_tokens / med
+        results["generate"] = {
+            "batch_size": bs,
+            "new_tokens": new_tokens,
+            "clip_s": round(med, 4),
+            "tokens_per_sec": round(tok_s, 1),
+            "trajectories_per_sec": round(bs / med, 3),
+        }
+        print(json.dumps(results["generate"]), flush=True)
+
+    if args.mode in ("train", "both"):
+        bs = args.train_bs or args.bs
+        tcfg = TrainConfig(batch_size=bs, lr=2e-5)
+        ids = np.full((bs, lay.total_len), 5, np.int32)
+        ids[:, 0] = cfg.point_start_token_id
+        ids[:, 1:1 + cfg.point_bert.point_token_len] = (
+            cfg.point_patch_token_id
+        )
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "attention_mask": jnp.ones((bs, lay.total_len), bool),
+            "point_clouds": jnp.zeros(
+                (bs, cfg.point_bert.npoints, 6), jnp.float32
+            ),
+        }
+        trainable, frozen = partition_params(params, frozen_patterns(tcfg))
+        tx = make_optimizer(tcfg, total_steps=100)
+        state = TrainState(
+            trainable, frozen, tx.init(trainable),
+            jnp.asarray(0, jnp.int32),
+        )
+        trainable_n = sum(
+            v.size for v in trainable.values()
+        )
+        results["trainable_params"] = int(trainable_n)
+        step_fn = make_train_step(model, tx, lay.prompt_len, 1, donate=False)
+
+        def run_step():
+            new_state, m = step_fn(state, batch)
+            return m["loss"]
+
+        print(f"compiling 7B train step (frozen recipe, bs {bs}, "
+              f"seq {lay.total_len}) ...", flush=True)
+        med = timed(f"7B train step bs{bs}", run_step, iters=3)
+        results["train"] = {
+            "batch_size": bs,
+            "seq_len": lay.total_len,
+            "step_s": round(med, 4),
+            "samples_per_sec": round(bs / med, 2),
+            "recipe": "frozen LLM layers + point backbone "
+                      "(model_arch.py:33-51); trainable "
+                      f"{trainable_n/1e6:.0f}M params, bf16 moments",
+        }
+        print(json.dumps(results["train"]), flush=True)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, args.out), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"ok": True, **{k: results[k] for k in
+                                     ("n_params", "params_gib")}}))
+
+
+if __name__ == "__main__":
+    main()
