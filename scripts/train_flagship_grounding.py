@@ -145,6 +145,26 @@ def main():
 
     t0 = time.time()
     align_history = []
+    history = []
+
+    def dump(complete):
+        # incremental artifact: a host reboot mid-run leaves the
+        # per-epoch history on disk instead of nothing
+        with open(args.out, "w") as f:
+            json.dump({
+                "complete": complete,
+                "align_history": align_history,
+                "history": history,
+                "baselines": {
+                    "mean_predictor_ade": round(baseline, 4),
+                    "repeat_wp0": {k: round(v, 4)
+                                   for k, v in wp0_all.items()},
+                    "repeat_wp0_transfer": {
+                        k: round(v, 4) for k, v in wp0_transfer.items()
+                    },
+                },
+                "wall_s": round(time.time() - t0, 1),
+            }, f, indent=2)
     if args.align_epochs > 0:
         # ---- stage 1 analogue: dense name->position alignment ----
         from egoscaler_tpu.training.trainer import TrainState, make_optimizer
@@ -184,13 +204,13 @@ def main():
             align_history.append(rec)
             print(f"align epoch {epoch}: {rec} ({time.time() - t0:.0f}s)",
                   flush=True)
+            dump(complete=False)
         # fresh optimizer + schedule for the trajectory fine-tune
         state = TrainState(
             state.trainable, state.frozen, tx.init(state.trainable),
             jnp.asarray(0, jnp.int32),
         )
 
-    history = []
     best = {"ade": float("inf")}
     losses = []
     for epoch in range(args.epochs):
@@ -216,10 +236,12 @@ def main():
                    **{f"transfer_{k}": float(v) for k, v in xs.items()}}
             history.append(rec)
             print(f"  val: {rec}", flush=True)
+            dump(complete=False)
             if rec.get("ade", float("inf")) < best["ade"]:
                 best = rec
 
     out = {
+        "complete": True,
         "task": "language-grounded trajectory generation "
                 "(verbs + 'move A onto B' transfers -> 6DoF)",
         "model": "tiny" if args.tiny else "flagship_tpu (1.1B)",
