@@ -84,17 +84,34 @@ class LlamaAttention(nn.Module):
             return jnp.repeat(t, h // kvh, axis=2)
 
         if cache_k is not None:
-            # write this step's k/v slice into the FULL stacked cache at
-            # (layer, 0, cache_index, 0, 0): one small write per layer,
-            # no whole-cache copies (in-place under the scan carry)
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, k.astype(cache_k.dtype)[None],
-                (self.layer_idx, 0, cache_index, 0, 0),
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, v.astype(cache_v.dtype)[None],
-                (self.layer_idx, 0, cache_index, 0, 0),
-            )
+            if cache_index.ndim == 0:
+                # write this step's k/v slice into the FULL stacked cache
+                # at (layer, 0, cache_index, 0, 0): one small write per
+                # layer, no whole-cache copies (in-place under the scan
+                # carry)
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, k.astype(cache_k.dtype)[None],
+                    (self.layer_idx, 0, cache_index, 0, 0),
+                )
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, v.astype(cache_v.dtype)[None],
+                    (self.layer_idx, 0, cache_index, 0, 0),
+                )
+            else:
+                # continuous batching (serving/engine.py): cache_index is
+                # (B,) — every slot decodes at its OWN position; one
+                # scatter row per slot, still no whole-cache copies
+                if s != 1:
+                    raise ValueError(
+                        "per-slot cache_index requires single-token decode"
+                    )
+                bidx = jnp.arange(b)
+                cache_k = cache_k.at[self.layer_idx, bidx, cache_index].set(
+                    k[:, 0].astype(cache_k.dtype)
+                )
+                cache_v = cache_v.at[self.layer_idx, bidx, cache_index].set(
+                    v[:, 0].astype(cache_v.dtype)
+                )
             if s > 1:
                 # prefill: causal attention over the prompt itself equals
                 # attention over the cache (future slots are causally
@@ -112,8 +129,16 @@ class LlamaAttention(nn.Module):
                 k_full = expand_kv(cache_k[self.layer_idx])
                 v_full = expand_kv(cache_v[self.layer_idx])
                 t = k_full.shape[1]
-                q_pos = cache_index + jnp.arange(s)
-                causal = (jnp.arange(t)[None, :] <= q_pos[:, None])[None, None]
+                if cache_index.ndim == 0:
+                    q_pos = cache_index + jnp.arange(s)
+                    causal = (
+                        jnp.arange(t)[None, :] <= q_pos[:, None]
+                    )[None, None]
+                else:
+                    # (B,) per-slot positions -> (B, 1, 1, T) causal mask
+                    causal = (
+                        jnp.arange(t)[None, :] <= cache_index[:, None]
+                    )[:, None, None, :]
                 mask = causal
                 if kv_mask is not None:
                     mask = mask & kv_mask[:, None, None, :t]

@@ -141,15 +141,19 @@ class TrajPointLLM(nn.Module):
     def decode_step(
         self,
         token: jax.Array,            # (B,) int32
-        cache_index: jax.Array,      # scalar int32: slot to write
+        cache_index: jax.Array,      # int32: write slot — scalar, or (B,)
+                                     # per-slot positions (serving engine)
         attention_mask: jax.Array,   # (B, T_max)
         cache: Dict[str, jax.Array],
     ):
         embeds = self.embed_tokens(token[:, None])
         cache_index = jnp.asarray(cache_index, jnp.int32)  # accept host ints
-        positions = jnp.broadcast_to(
-            cache_index[None, None], (token.shape[0], 1)
-        ).astype(jnp.int32)
+        if cache_index.ndim == 0:
+            positions = jnp.broadcast_to(
+                cache_index[None, None], (token.shape[0], 1)
+            ).astype(jnp.int32)
+        else:
+            positions = cache_index[:, None]
         x, cache = self.layers(
             embeds, positions, kv_mask=attention_mask,
             cache=cache, cache_index=cache_index,

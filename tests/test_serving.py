@@ -1,0 +1,112 @@
+"""Continuous-batching serving engine vs the offline generate oracle.
+
+The engine must produce, for every request, exactly the tokens the
+batch `generate` path produces for the same prompt — while requests
+are admitted into slots mid-stream, slots are reused, and every slot
+decodes at its own cache position (vector cache_index path in
+models/llama.py).  Reference has no concurrent serving path
+(chat_gradio.py is single-request); the oracle is our own generate,
+itself HF-parity tested (tests/test_convert.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egoscaler_tpu.configs import PointLLMConfig
+from egoscaler_tpu.models.pointllm import (
+    GenerateConfig,
+    TrajPointLLM,
+    generate,
+)
+from egoscaler_tpu.serving import ServingEngine
+from egoscaler_tpu.training.dataset import BatchLayout
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = PointLLMConfig().tiny()
+    lay = BatchLayout(cfg)
+    model = TrajPointLLM(cfg)
+    rng = np.random.RandomState(0)
+    n_req = 5
+    P = lay.prompt_len
+    ids = np.full((n_req, P), 5, np.int32)
+    ids[:, 0] = cfg.point_start_token_id
+    ids[:, 1:1 + cfg.point_bert.point_token_len] = cfg.point_patch_token_id
+    # vary the text part so requests differ
+    text0 = 1 + cfg.point_bert.point_token_len
+    ids[:, text0:] = rng.randint(5, 100, size=(n_req, P - text0))
+    mask = np.ones((n_req, P), bool)
+    mask[2, -3:] = False  # one request with a shorter (padded) prompt
+    pcs = rng.randn(n_req, cfg.point_bert.npoints, 6).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(ids[:1]), jnp.asarray(pcs[:1])
+    )
+    gen = GenerateConfig(max_new_tokens=12, do_sample=False)
+    oracle_toks, oracle_lens = generate(
+        model, params, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(pcs), jax.random.PRNGKey(1), gen,
+    )
+    oracle = []
+    for i in range(n_req):
+        t = np.asarray(oracle_toks[i])
+        n = int(oracle_lens[i])
+        # engine emits the eos token itself when it stops early
+        oracle.append(t[: min(n + 1, gen.max_new_tokens)])
+    return cfg, lay, model, params, ids, mask, pcs, gen, oracle
+
+
+def _check(results, oracle, req_ids):
+    for i, rid in enumerate(req_ids):
+        got = results[rid]
+        want = oracle[i]
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"request {i} (id {rid}) diverged"
+        )
+
+
+def test_more_requests_than_slots_match_offline_generate(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=4,
+    )
+    req_ids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(len(ids))]
+    results = eng.run()
+    assert len(results) == len(ids)
+    _check(results, oracle, req_ids)
+
+
+def test_mid_stream_admission(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=3,
+    )
+    first = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(2)]
+    eng.step()  # both slots busy, a few tokens in
+    late = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(2, 5)]
+    results = eng.run()
+    assert len(results) == 5
+    _check(results, oracle, first + late)
+
+
+def test_single_slot_sequential(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=1, prompt_len=lay.prompt_len,
+        gen=gen, chunk=5,
+    )
+    req_ids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(3)]
+    results = eng.run()
+    _check(results, oracle[:3], req_ids)
+
+
+def test_prompt_shape_validation(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=1, prompt_len=lay.prompt_len, gen=gen,
+    )
+    with pytest.raises(ValueError):
+        eng.submit(ids[0][:-1], mask[0][:-1], pcs[0])
