@@ -205,10 +205,13 @@ def llama_pipeline_forward(
     num_microbatches: int,
     axis: str = "pipe",
     kv_mask: jax.Array | None = None,
+    data_axis: str | None = None,
 ) -> jax.Array:
     """LlamaModel.__call__ equivalent (training forward, no cache) with
     the decoder trunk pipelined over `axis`.  The final RMSNorm runs
     replicated after the pipeline (it is batch-pointwise and tiny).
+    ``data_axis`` additionally shards each microbatch over that mesh
+    axis (DDP composed with GPipe — see pipeline_apply).
     """
     from egoscaler_tpu.models.llama import LlamaDecoderLayer, RMSNorm
 
@@ -236,6 +239,7 @@ def llama_pipeline_forward(
     x = pipeline_apply(
         layer_fn, stacked, inputs_embeds, positions, kv_mask,
         mesh=mesh, num_microbatches=num_microbatches, axis=axis,
+        data_axis=data_axis,
     )
     flat = params["params"] if "params" in params else params
 
