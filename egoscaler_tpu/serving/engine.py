@@ -13,13 +13,24 @@ answer:
   ``(B,)`` cache-index vector (per-slot rotary positions, per-slot
   causal masks, one scatter row per slot into the stacked KV cache —
   models/llama.py);
-* admission = a B=1 prefill whose KV block is scattered into the
-  slot's cache lane, while the other slots' state is untouched;
-* the host syncs once per ``chunk`` decode ticks (a ``lax.scan`` on
-  device), not per token — through a remote relay a per-token fetch
-  would cost more than the decode itself;
+* admission = a batched prefill whose KV blocks are scattered into
+  the admitted slots' cache lanes, while the other slots' state is
+  untouched; prefill programs are compiled per power-of-two admission
+  size (a "ladder": 1, 2, 4, ... num_slots), so a burst of arrivals
+  shares one MXU-efficient prefill instead of B=1 dispatches;
+* the host syncs once per decode CHUNK (a ``lax.scan`` on device),
+  not per token — through a remote relay a per-token fetch would cost
+  more than the decode itself; chunk length is picked per step from a
+  small compiled ladder to track the minimum remaining budget across
+  active slots (few syncs on long tails, fine-grained slot release
+  near the end);
 * all device state (cache, masks, token/index/done vectors) is donated
-  through both programs, so serving steady-state allocates nothing.
+  through both programs, so serving steady-state allocates nothing;
+* the scheduler DISPATCHES AHEAD: slot-release times are predicted
+  from per-request budgets, so prefills and decode chunks enqueue on
+  the device while earlier chunks' token fetches complete in the
+  background (bounded by ``lookahead``) — the ~30 ms relay fetch hides
+  under device compute instead of serializing the loop.
 
 Slot reuse needs no cache scrubbing: a position's K/V row is always
 rewritten by the new request before its causal mask can see it.
@@ -48,13 +59,17 @@ class _Request:
     input_ids: np.ndarray      # (P,) int32, right-padded
     prompt_mask: np.ndarray    # (P,) bool
     point_cloud: np.ndarray    # (N, 6) float32
+    budget: int                # max new tokens for THIS request
 
 
 @dataclasses.dataclass
 class _SlotState:
     req_id: int
     tokens: List[int]
+    budget: int
     finished: bool = False
+    ticks_alloc: int = 0   # decode ticks DISPATCHED for this request
+    delivered: bool = False
 
 
 class ServingEngine:
@@ -68,7 +83,8 @@ class ServingEngine:
         ``prompt_mask`` False — mid-prompt pads are honored by the
         attention kv-mask exactly as in training, dataset.py:150-194).
     gen: sampling config; ``max_new_tokens`` bounds each request.
-    chunk: decode ticks per host sync.
+    chunk: MAX decode ticks per host sync (the top of the compiled
+        chunk ladder; actual chunk length adapts per step).
     """
 
     def __init__(
@@ -82,6 +98,7 @@ class ServingEngine:
         chunk: int = 8,
         cache_dtype=jnp.bfloat16,
         seed: int = 0,
+        lookahead: int = 2,
     ):
         self.model = model
         self.params = params
@@ -104,130 +121,278 @@ class ServingEngine:
         self._slots: List[Optional[_SlotState]] = [None] * b
         self._results: Dict[int, np.ndarray] = {}
         self._next_id = 0
+        # dispatch-ahead: decode chunks in flight whose emitted tokens
+        # have not been fetched yet — (device array, slot snapshot)
+        self._inflight: deque = deque()
+        self.lookahead = lookahead
 
         gen_args = (gen.temperature, gen.top_k, gen.top_p, gen.do_sample)
 
-        def prefill_prog(params, cache, kv_mask, tokens, indices, done,
-                         slot, ids, pmask, pc, key):
-            # B=1 prefill into a private cache, scattered into the slot
-            # lane; other slots' state is untouched.
-            small = init_kv_cache(model.cfg.llama, 1, t_max, cache_dtype)
-            full_mask1 = jnp.concatenate(
-                [pmask.astype(bool)[None],
-                 jnp.ones((1, t_max - prompt_len), bool)], axis=1,
-            )
-            logits, small = model.apply(
-                params, ids[None], pc[None], full_mask1, small,
-                method=TrajPointLLM.prefill,
-            )
-            cache = {
-                "k": cache["k"].at[:, slot].set(small["k"][:, 0]),
-                "v": cache["v"].at[:, slot].set(small["v"][:, 0]),
-            }
-            kv_mask = kv_mask.at[slot].set(full_mask1[0])
-            tok = sample_token(logits, key, *gen_args)[0]
-            tokens = tokens.at[slot].set(tok)
-            indices = indices.at[slot].set(prompt_len)
-            done = done.at[slot].set(tok == gen.eos_token_id)
-            return cache, kv_mask, tokens, indices, done
-
-        def decode_chunk_prog(params, cache, kv_mask, tokens, indices,
-                              done, key):
-            def tick(carry, _):
-                tok, cache, indices, done, key = carry
-                key, sub = jax.random.split(key)
-                logits, cache = model.apply(
-                    params, tok, indices, kv_mask, cache,
-                    method=TrajPointLLM.decode_step,
+        def make_prefill_prog(k):
+            def prefill_prog(params, cache, kv_mask, tokens, indices,
+                             done, slots_, ids, pmask, pc, key):
+                # batched prefill of k requests into a private cache,
+                # scattered into the admitted slot lanes; the other
+                # slots' state is untouched.
+                small = init_kv_cache(
+                    model.cfg.llama, k, t_max, cache_dtype
                 )
-                nxt = sample_token(logits, sub, *gen_args)
-                nxt = jnp.where(done, gen.eos_token_id, nxt)
-                emitted = tok
-                done = done | (nxt == gen.eos_token_id)
-                indices = indices + 1
-                return (nxt, cache, indices, done, key), emitted
+                full_mask = jnp.concatenate(
+                    [pmask.astype(bool),
+                     jnp.ones((k, t_max - prompt_len), bool)], axis=1,
+                )
+                logits, small = model.apply(
+                    params, ids, pc, full_mask, small,
+                    method=TrajPointLLM.prefill,
+                )
+                cache = {
+                    "k": cache["k"].at[:, slots_].set(small["k"]),
+                    "v": cache["v"].at[:, slots_].set(small["v"]),
+                }
+                kv_mask = kv_mask.at[slots_].set(full_mask)
+                tok = sample_token(logits, key, *gen_args)  # (k,)
+                tokens = tokens.at[slots_].set(tok)
+                indices = indices.at[slots_].set(prompt_len)
+                done = done.at[slots_].set(tok == gen.eos_token_id)
+                return cache, kv_mask, tokens, indices, done
 
-            (tok, cache, indices, done, key), toks = jax.lax.scan(
-                tick, (tokens, cache, indices, done, key),
-                None, length=chunk,
+            return jax.jit(prefill_prog, donate_argnums=(1, 2, 3, 4, 5))
+
+        # prefill ladder: one compiled program per power-of-two
+        # admission size (built lazily; warmup() precompiles)
+        self._prefill_ladder = {}
+        self._make_prefill_prog = make_prefill_prog
+
+        def make_decode_prog(length):
+            def decode_chunk_prog(params, cache, kv_mask, tokens, indices,
+                                  done, key):
+                def tick(carry, _):
+                    tok, cache, indices, done, key = carry
+                    key, sub = jax.random.split(key)
+                    logits, cache = model.apply(
+                        params, tok, indices, kv_mask, cache,
+                        method=TrajPointLLM.decode_step,
+                    )
+                    nxt = sample_token(logits, sub, *gen_args)
+                    nxt = jnp.where(done, gen.eos_token_id, nxt)
+                    emitted = tok
+                    done = done | (nxt == gen.eos_token_id)
+                    indices = indices + 1
+                    return (nxt, cache, indices, done, key), emitted
+
+                (tok, cache, indices, done, key), toks = jax.lax.scan(
+                    tick, (tokens, cache, indices, done, key),
+                    None, length=length,
+                )
+                return cache, tok, indices, done, jnp.swapaxes(toks, 0, 1)
+
+            return jax.jit(decode_chunk_prog, donate_argnums=(1, 3, 4, 5))
+
+        # decode-chunk ladder: compiled scan programs of a few lengths;
+        # step() picks one queue-aware (see step()).
+        self._decode_sizes = sorted({
+            max(chunk // d, 1) for d in (1, 2, 4, 8, 16)
+        })
+        self._decode_ladder = {}
+        self._make_decode_prog = make_decode_prog
+
+    # ---- internals ----
+
+    def _ladder_sizes(self) -> List[int]:
+        sizes, k = [], 1
+        while k < self.num_slots:
+            sizes.append(k)
+            k *= 2
+        sizes.append(self.num_slots)
+        return sizes
+
+    def _admit(self, free: List[int]) -> None:
+        """Prefill queued requests into free slots, largest
+        power-of-two groups first (one compiled program per size)."""
+        while free and self._queue:
+            n = min(len(free), len(self._queue))
+            k = max(s for s in self._ladder_sizes() if s <= n)
+            slots_ = free[:k]
+            free = free[k:]
+            reqs = [self._queue.popleft() for _ in range(k)]
+            prog = self._prefill_ladder.get(k)
+            if prog is None:
+                prog = self._prefill_ladder[k] = self._make_prefill_prog(k)
+            self._key, sub = jax.random.split(self._key)
+            (self._cache, self._kv_mask, self._tokens, self._indices,
+             self._done) = prog(
+                self.params, self._cache, self._kv_mask, self._tokens,
+                self._indices, self._done,
+                jnp.asarray(slots_, jnp.int32),
+                jnp.asarray(np.stack([r.input_ids for r in reqs])),
+                jnp.asarray(np.stack([r.prompt_mask for r in reqs])),
+                jnp.asarray(np.stack([r.point_cloud for r in reqs])),
+                sub,
             )
-            return cache, tok, indices, done, jnp.swapaxes(toks, 0, 1)
-
-        self._prefill = jax.jit(prefill_prog, donate_argnums=(1, 2, 3, 4, 5))
-        self._decode_chunk = jax.jit(decode_chunk_prog,
-                                     donate_argnums=(1, 3, 4, 5))
+            for s, req in zip(slots_, reqs):
+                self._slots[s] = _SlotState(req.req_id, [], req.budget)
 
     # ---- public API ----
 
-    def submit(self, input_ids, prompt_mask, point_cloud) -> int:
+    def warmup(self) -> None:
+        """Precompile every prefill-ladder size and every decode-chunk
+        size so serving latency never pays a compile.  Runs real
+        (dummy) requests through the engine."""
+        zeros_pc = np.zeros(
+            (self.model.cfg.point_bert.npoints, 6), np.float32
+        )
+        ids = np.zeros((self.prompt_len,), np.int32)
+        pmask = np.ones((self.prompt_len,), bool)
+        for k in self._ladder_sizes():
+            for _ in range(k):
+                self.submit(ids, pmask, zeros_pc, max_new_tokens=1)
+            self.run()
+        for c in self._decode_sizes:
+            self.submit(ids, pmask, zeros_pc,
+                        max_new_tokens=min(c, self.gen.max_new_tokens))
+            self.run()
+
+    def submit(self, input_ids, prompt_mask, point_cloud,
+               max_new_tokens: Optional[int] = None) -> int:
         """Queue a request; returns its id.  ``input_ids`` is (P,) int32
-        right-padded, ``prompt_mask`` (P,) bool, ``point_cloud`` (N, 6)."""
+        right-padded, ``prompt_mask`` (P,) bool, ``point_cloud`` (N, 6).
+
+        ``max_new_tokens`` is this request's OWN decode budget (default:
+        the engine-wide ``gen.max_new_tokens``).  Per-request budgets are
+        the point of continuous batching: a short request frees its slot
+        early and a queued request is admitted into it, while a static
+        batch would idle the lane until the longest member finishes."""
         ids = np.asarray(input_ids, np.int32)
         if ids.shape != (self.prompt_len,):
             raise ValueError(
                 f"prompt must be shape ({self.prompt_len},), got {ids.shape}"
             )
+        budget = (self.gen.max_new_tokens if max_new_tokens is None
+                  else int(max_new_tokens))
+        if not 0 < budget <= self.gen.max_new_tokens:
+            raise ValueError(
+                f"max_new_tokens must be in (0, {self.gen.max_new_tokens}] "
+                f"(the cache is sized for the engine-wide max), got {budget}"
+            )
         rid = self._next_id
         self._next_id += 1
         self._queue.append(_Request(
             rid, ids, np.asarray(prompt_mask, bool),
-            np.asarray(point_cloud, np.float32),
+            np.asarray(point_cloud, np.float32), budget,
         ))
         return rid
 
     @property
     def pending(self) -> bool:
-        return bool(self._queue) or any(
-            s is not None for s in self._slots
-        )
+        return (bool(self._queue) or bool(self._inflight)
+                or any(s is not None for s in self._slots))
 
-    def step(self) -> None:
-        """Admit queued requests into free slots, then run one decode
-        chunk and harvest emitted tokens."""
-        for slot in range(self.num_slots):
-            if self._slots[slot] is None and self._queue:
-                req = self._queue.popleft()
-                self._key, sub = jax.random.split(self._key)
-                (self._cache, self._kv_mask, self._tokens, self._indices,
-                 self._done) = self._prefill(
-                    self.params, self._cache, self._kv_mask, self._tokens,
-                    self._indices, self._done,
-                    jnp.asarray(slot, jnp.int32),
-                    jnp.asarray(req.input_ids),
-                    jnp.asarray(req.prompt_mask),
-                    jnp.asarray(req.point_cloud), sub,
-                )
-                self._slots[slot] = _SlotState(req.req_id, [])
+    @staticmethod
+    def _is_ready(arr) -> bool:
+        try:
+            return arr.is_ready()
+        except AttributeError:  # older jax.Array without is_ready
+            return False
 
-        if all(s is None for s in self._slots):
-            return
-
-        self._key, sub = jax.random.split(self._key)
-        (self._cache, self._tokens, self._indices, self._done,
-         emitted) = self._decode_chunk(
-            self.params, self._cache, self._kv_mask, self._tokens,
-            self._indices, self._done, sub,
-        )
-        emitted = np.asarray(emitted)  # (B, chunk)
-        for slot, st in enumerate(self._slots):
-            if st is None:
-                continue
+    def _harvest(self, emitted, snapshot) -> None:
+        """Fetch one in-flight chunk's tokens (blocking if the device is
+        still on it) and append them to the snapshot's slot states."""
+        emitted = np.asarray(emitted)  # (B, c)
+        for slot, st in snapshot:
             for tok in emitted[slot]:
                 if st.finished:
                     break
                 tok = int(tok)
                 st.tokens.append(tok)
                 if (tok == self.gen.eos_token_id
-                        or len(st.tokens) >= self.gen.max_new_tokens):
+                        or len(st.tokens) >= st.budget):
                     st.finished = True
-            if st.finished:
+            if st.finished and not st.delivered:
+                st.delivered = True
                 self._results[st.req_id] = np.asarray(st.tokens, np.int32)
-                self._slots[slot] = None
+
+    def step(self) -> None:
+        """One scheduler iteration: drain ready fetches, admit queued
+        requests into predictably-free slots, dispatch one decode chunk
+        — WITHOUT waiting for it.
+
+        Dispatch-ahead: slot release times are computed from per-request
+        BUDGETS (`ticks_alloc`), not from fetched tokens, so admissions
+        and decode chunks are enqueued on the device while earlier
+        chunks' token fetches overlap device compute (through a remote
+        relay a synchronous fetch costs ~30 ms — more than several
+        decode ticks).  An eos that lands before the budget is only
+        discovered at harvest: the lane idles its remaining planned
+        ticks, exactly the padding waste a static batch pays — never
+        wrong tokens, since harvest truncates at the first eos.
+        """
+        # 1. drain fetches that are already on the host side; bound the
+        # dispatch-ahead window (deep queues add latency, no throughput)
+        while self._inflight and (
+            len(self._inflight) > self.lookahead
+            or self._is_ready(self._inflight[0][0])
+        ):
+            self._harvest(*self._inflight.popleft())
+
+        # 2. admission into predictably-free slots
+        free = []
+        for i, st in enumerate(self._slots):
+            if st is None:
+                free.append(i)
+            elif st.ticks_alloc >= st.budget:
+                # request's planned ticks fully dispatched — its tokens
+                # live in _inflight snapshots; the LANE is reusable (the
+                # new prefill rewrites it strictly after the old chunks)
+                self._slots[i] = None
+                free.append(i)
+        if free and self._queue:
+            self._admit(free)
+
+        active = [(i, st) for i, st in enumerate(self._slots)
+                  if st is not None]
+        if not active:
+            if self._inflight:  # nothing to dispatch: make progress
+                self._harvest(*self._inflight.popleft())
+            return
+
+        # 3. chunk-size policy (queue-aware).  Overshooting a lane's
+        # budget inside a chunk wastes that lane's ticks, never emits
+        # wrong tokens; it only COSTS anything when a queued request
+        # could have used the slot.
+        #   queue waiting -> smallest compiled size covering the MIN
+        #     remaining budget (release slots promptly);
+        #   queue empty  -> largest size not overshooting the MAX
+        #     remaining budget (nobody is waiting; fewer fetches wins).
+        rems = [st.budget - st.ticks_alloc for _, st in active]
+        if self._queue:
+            c = next(
+                (s for s in self._decode_sizes if s >= min(rems)),
+                self._decode_sizes[-1],
+            )
+        else:
+            fits = [s for s in self._decode_sizes if s <= max(rems)]
+            c = fits[-1] if fits else self._decode_sizes[0]
+        prog = self._decode_ladder.get(c)
+        if prog is None:
+            prog = self._decode_ladder[c] = self._make_decode_prog(c)
+        self._key, sub = jax.random.split(self._key)
+        (self._cache, self._tokens, self._indices, self._done,
+         emitted) = prog(
+            self.params, self._cache, self._kv_mask, self._tokens,
+            self._indices, self._done, sub,
+        )
+        for _, st in active:
+            st.ticks_alloc += c
+        self._inflight.append((emitted, active))
+
+    def take_results(self) -> Dict[int, np.ndarray]:
+        """Pop completed requests: {req_id: generated tokens}."""
+        out, self._results = self._results, {}
+        return out
 
     def run(self) -> Dict[int, np.ndarray]:
         """Drive until every submitted request completes; returns
         {req_id: generated tokens (eos-terminated or budget-truncated)}."""
         while self.pending:
             self.step()
-        out, self._results = self._results, {}
-        return out
+        return self.take_results()

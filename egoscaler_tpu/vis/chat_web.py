@@ -126,9 +126,13 @@ def _b64(arr: np.ndarray) -> str:
 class ChatWebServer:
     """Threaded HTTP server bundling the page, the cloud, and a backend.
 
-    `respond` runs on the request thread; requests are serialized with a
-    lock because generation holds the single TPU chip (CLAUDE.md: one
-    TPU process/program at a time).
+    `respond` runs on the request thread; by default requests are
+    serialized with a lock because generation holds the single TPU chip
+    (CLAUDE.md: one TPU process/program at a time).  Pass
+    ``serialize=False`` when `respond` is itself concurrency-safe —
+    e.g. serving.frontend.EngineWorker.submit_and_wait, where
+    concurrent requests SHARE the continuous-batching decode ticks
+    instead of queueing.
     """
 
     def __init__(
@@ -140,6 +144,7 @@ class ChatWebServer:
         max_points: int = 150_000,
         host: str = "127.0.0.1",
         port: int = 0,
+        serialize: bool = True,
     ):
         points = np.asarray(points, np.float32).reshape(-1, 3)
         if colors is None:
@@ -160,7 +165,7 @@ class ChatWebServer:
         ).encode()
         self._page = _PAGE.format(title=title).encode()
         self._respond = respond
-        self._lock = threading.Lock()
+        self._lock = threading.Lock() if serialize else None
 
         outer = self
 
@@ -193,7 +198,10 @@ class ChatWebServer:
                     question = str(req.get("question", "")).strip()
                     if not question:
                         raise ValueError("empty question")
-                    with outer._lock:
+                    if outer._lock is not None:
+                        with outer._lock:
+                            answer = outer._respond(question)
+                    else:
                         answer = outer._respond(question)
                     body = json.dumps({"answer": answer}).encode()
                     self._send(200, "application/json", body)

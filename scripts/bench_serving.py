@@ -1,0 +1,219 @@
+"""Serving throughput: continuous batching vs static offline batching.
+
+The reference has no concurrent serving path (chat_gradio.py handles
+one request; evaluate.py:97-170 statically batches a fixed file) — this
+measures the beyond-parity ServingEngine on the real chip at the
+flagship (1.1B) scale and the dataset operating point (prompt 544,
+answers up to 139 tokens).
+
+Two workloads, N requests into S slots:
+
+* uniform — every request wants the full answer budget.  Static
+  batching is optimal here; the engine pays its per-admission B=1
+  prefills and per-chunk host syncs, so this bounds the engine's
+  overhead.
+* mixed — request budgets vary 16..139 in arrival order (a realistic
+  queue).  A static batch holds every lane until its longest member
+  finishes; the engine frees lanes early and admits queued requests,
+  which is the point of continuous batching.
+
+Timing is wall-clock over the whole workload INCLUDING host syncs (the
+honest serving cost through the relay; compiles are warmed up first).
+Weights are random (zero-egress): cost is shape-dependent.
+
+Usage:  python scripts/bench_serving.py [--tiny] [--requests 32]
+Writes: SERVING_BENCH.json at the repo root.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_prompts(cfg, lay, n, seed=0):
+    rng = np.random.RandomState(seed)
+    P = lay.prompt_len
+    ids = np.full((n, P), 5, np.int32)
+    ids[:, 0] = cfg.point_start_token_id
+    ids[:, 1:1 + cfg.point_bert.point_token_len] = cfg.point_patch_token_id
+    t0 = 1 + cfg.point_bert.point_token_len
+    ids[:, t0:] = rng.randint(5, 1000, size=(n, P - t0))
+    mask = np.ones((n, P), bool)
+    pcs = rng.randn(n, cfg.point_bert.npoints, 6).astype(np.float32)
+    return ids, mask, pcs
+
+
+def run_engine(model, params, cfg, lay, gen, ids, mask, pcs, budgets,
+               slots, chunk):
+    """One serving run; returns (wall_s, tokens_emitted, latencies)."""
+    from egoscaler_tpu.serving import ServingEngine
+
+    eng = ServingEngine(
+        model, params, num_slots=slots, prompt_len=lay.prompt_len,
+        gen=gen, chunk=chunk,
+    )
+    eng.warmup()  # compile the prefill ladder + decode chunk
+
+    t0 = time.perf_counter()
+    rids = [
+        eng.submit(ids[i], mask[i], pcs[i], max_new_tokens=budgets[i])
+        for i in range(len(ids))
+    ]
+    done_at = {}
+    results = {}
+    while eng.pending:
+        eng.step()
+        now = time.perf_counter() - t0
+        for rid, toks in eng.take_results().items():
+            done_at[rid] = now
+            results[rid] = toks
+    wall = time.perf_counter() - t0
+    results.update(eng.take_results())
+    n_tok = sum(len(results[r]) for r in rids)
+    lat = np.array([done_at[r] for r in rids])
+    return wall, n_tok, lat
+
+
+def run_static(model, params, cfg, lay, gen_template, ids, mask, pcs,
+               budgets, slots):
+    """Static batching baseline: waves of `slots` requests in arrival
+    order; every wave decodes its LONGEST member's budget (the lane
+    cannot be reused mid-wave — evaluate.py:97-170 semantics)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.models.pointllm import generate
+
+    n = len(ids)
+    waves = [list(range(i, min(i + slots, n))) for i in range(0, n, slots)]
+    # one compiled program per distinct wave-max budget
+    progs = {}
+    for w in waves:
+        wmax = max(budgets[i] for i in w)
+        if wmax not in progs:
+            g = dataclasses.replace(gen_template, max_new_tokens=wmax)
+
+            def fn(p, i, m, c, k, _g=g):
+                return generate(model, p, i, m, c, k, _g)
+
+            progs[wmax] = jax.jit(fn)
+            # warmup compile
+            np.asarray(progs[wmax](
+                params, jnp.asarray(ids[w]), jnp.asarray(mask[w]),
+                jnp.asarray(pcs[w]), jax.random.PRNGKey(0),
+            )[0])
+
+    t0 = time.perf_counter()
+    n_tok = 0
+    for w in waves:
+        wmax = max(budgets[i] for i in w)
+        toks, lens = progs[wmax](
+            params, jnp.asarray(ids[w]), jnp.asarray(mask[w]),
+            jnp.asarray(pcs[w]), jax.random.PRNGKey(0),
+        )
+        toks = np.asarray(toks)  # host fetch = the serving boundary
+        lens = np.asarray(lens)
+        for j, i in enumerate(w):
+            n_tok += int(min(lens[j] + 1, budgets[i]))
+    wall = time.perf_counter() - t0
+    return wall, n_tok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="tiny config, CPU")
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--out", default="SERVING_BENCH.json")
+    args = ap.parse_args()
+
+    import jax
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.configs import PointLLMConfig
+    from egoscaler_tpu.models.pointllm import GenerateConfig, TrajPointLLM
+    from egoscaler_tpu.runtime.params import leafwise_bf16_params
+    from egoscaler_tpu.training.dataset import BatchLayout
+
+    cfg = PointLLMConfig().tiny() if args.tiny else (
+        PointLLMConfig().flagship_tpu()
+    )
+    lay = BatchLayout(cfg)
+    model = TrajPointLLM(cfg, remat=False)
+    max_tok = 16 if args.tiny else lay.answer_len
+    gen = GenerateConfig(max_new_tokens=max_tok, do_sample=False)
+
+    n = args.requests
+    ids, mask, pcs = make_prompts(cfg, lay, n, seed=0)
+    print(f"materializing params in bf16 on device ...", flush=True)
+    params = leafwise_bf16_params(
+        model, jnp.asarray(ids[:1]), jnp.asarray(pcs[:1])
+    )
+
+    rng = np.random.RandomState(42)
+    lo = max(2, max_tok // 8)
+    mixed = rng.randint(lo, max_tok + 1, size=n).tolist()
+    workloads = {
+        "uniform": [max_tok] * n,
+        "mixed": mixed,
+    }
+
+    results = {
+        "model": "tiny" if args.tiny else "flagship_tpu (1.1B), bf16",
+        "device": str(jax.devices()[0]),
+        "prompt_len": lay.prompt_len,
+        "max_new_tokens": max_tok,
+        "requests": n,
+        "slots": args.slots,
+        "chunk": args.chunk,
+    }
+    for name, budgets in workloads.items():
+        print(f"== workload {name} (sum budgets "
+              f"{sum(budgets)}) ==", flush=True)
+        e_wall, e_tok, lat = run_engine(
+            model, params, cfg, lay, gen, ids, mask, pcs, budgets,
+            args.slots, args.chunk,
+        )
+        s_wall, s_tok = run_static(
+            model, params, cfg, lay, gen, ids, mask, pcs, budgets,
+            args.slots,
+        )
+        rec = {
+            "budgets_sum": int(sum(budgets)),
+            "engine": {
+                "wall_s": round(e_wall, 3),
+                "tokens": int(e_tok),
+                "tok_per_s": round(e_tok / e_wall, 1),
+                "req_per_s": round(n / e_wall, 2),
+                "latency_mean_s": round(float(lat.mean()), 3),
+                "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+            },
+            "static_batching": {
+                "wall_s": round(s_wall, 3),
+                "tokens": int(s_tok),
+                "tok_per_s": round(s_tok / s_wall, 1),
+                "req_per_s": round(n / s_wall, 2),
+            },
+            "engine_speedup": round(s_wall / e_wall, 2),
+        }
+        results[name] = rec
+        print(json.dumps(rec), flush=True)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, args.out), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"ok": True}))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,32 +51,11 @@ def timed(label, fn, iters=5):
 
 
 def leafwise_bf16_params(model, example_ids, example_pc):
-    """Materialize the param tree in bf16 directly on device: one jitted
-    program emitting every leaf (peak = final tree size, no f32 copy)."""
-    import jax
-    import jax.numpy as jnp
-
-    shapes = jax.eval_shape(
-        lambda r: model.init(r, example_ids, example_pc),
-        jax.random.PRNGKey(0),
+    from egoscaler_tpu.runtime.params import (
+        leafwise_bf16_params as _leafwise,
     )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
 
-    @jax.jit
-    def make(key):
-        outs = []
-        for i, s in enumerate(leaves):
-            if jnp.issubdtype(s.dtype, jnp.floating):
-                kk = jax.random.fold_in(key, i)
-                outs.append(
-                    0.02 * jax.random.normal(kk, s.shape, jnp.bfloat16)
-                )
-            else:
-                outs.append(jnp.zeros(s.shape, s.dtype))
-        return outs
-
-    out_leaves = jax.block_until_ready(make(jax.random.PRNGKey(1)))
-    return jax.tree_util.tree_unflatten(treedef, out_leaves)
+    return _leafwise(model, example_ids, example_pc)
 
 
 def main():

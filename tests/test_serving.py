@@ -103,6 +103,38 @@ def test_single_slot_sequential(setup):
     _check(results, oracle[:3], req_ids)
 
 
+def test_per_request_budgets_free_slots_early(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=2,
+    )
+    budgets = [3, 12, 5, 12, 4]
+    req_ids = [
+        eng.submit(ids[i], mask[i], pcs[i], max_new_tokens=budgets[i])
+        for i in range(len(ids))
+    ]
+    results = eng.run()
+    assert len(results) == len(ids)
+    for i, rid in enumerate(req_ids):
+        want = oracle[i][: budgets[i]]
+        np.testing.assert_array_equal(
+            results[rid], want, err_msg=f"request {i} (budget {budgets[i]})"
+        )
+
+
+def test_budget_validation(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=1, prompt_len=lay.prompt_len, gen=gen,
+    )
+    with pytest.raises(ValueError):
+        eng.submit(ids[0], mask[0], pcs[0],
+                   max_new_tokens=gen.max_new_tokens + 1)
+    with pytest.raises(ValueError):
+        eng.submit(ids[0], mask[0], pcs[0], max_new_tokens=0)
+
+
 def test_prompt_shape_validation(setup):
     cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
     eng = ServingEngine(
@@ -110,3 +142,88 @@ def test_prompt_shape_validation(setup):
     )
     with pytest.raises(ValueError):
         eng.submit(ids[0][:-1], mask[0][:-1], pcs[0])
+
+
+def test_eos_early_stop_matches_oracle(setup):
+    """A request that hits eos before its budget stops there (the lane
+    idles its remaining planned ticks — never wrong tokens)."""
+    cfg, lay, model, params, ids, mask, pcs, gen, _ = setup
+    # force real early-stops: declare the 4th greedy token of request 0
+    # to be the eos id
+    base_toks, _ = generate(
+        model, params, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(pcs), jax.random.PRNGKey(1), gen,
+    )
+    eos = int(np.asarray(base_toks)[0, 3])
+    gen2 = GenerateConfig(
+        max_new_tokens=gen.max_new_tokens, do_sample=False,
+        eos_token_id=eos,
+    )
+    toks2, lens2 = generate(
+        model, params, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(pcs), jax.random.PRNGKey(1), gen2,
+    )
+    toks2, lens2 = np.asarray(toks2), np.asarray(lens2)
+    assert int(lens2[0]) < gen.max_new_tokens  # the stop really happens
+    oracle2 = [
+        toks2[i][: min(int(lens2[i]) + 1, gen2.max_new_tokens)]
+        for i in range(len(ids))
+    ]
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen2, chunk=4,
+    )
+    rids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(len(ids))]
+    results = eng.run()
+    _check(results, oracle2, rids)
+
+
+def test_engine_worker_concurrent_callers(setup):
+    """Blocking callers on many threads share the engine's decode ticks
+    and each gets exactly the offline-generate tokens."""
+    import threading
+
+    from egoscaler_tpu.serving.frontend import EngineWorker
+
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=3,
+    )
+    worker = EngineWorker(eng)
+    got = [None] * len(ids)
+    errs = []
+
+    def call(i):
+        try:
+            got[i] = worker.submit_and_wait(
+                ids[i], mask[i], pcs[i], timeout=300.0
+            )
+        except Exception as e:  # surfaced below
+            errs.append((i, e))
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(ids))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    worker.stop()
+    assert not errs, errs
+    for i in range(len(ids)):
+        np.testing.assert_array_equal(
+            got[i], oracle[i], err_msg=f"caller {i} diverged"
+        )
+
+
+def test_engine_worker_stop_rejects_new_work(setup):
+    from egoscaler_tpu.serving.frontend import EngineWorker
+
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=1, prompt_len=lay.prompt_len, gen=gen,
+    )
+    worker = EngineWorker(eng)
+    worker.stop()
+    with pytest.raises(RuntimeError):
+        worker.submit_and_wait(ids[0], mask[0], pcs[0])
