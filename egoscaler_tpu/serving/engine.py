@@ -85,6 +85,19 @@ class ServingEngine:
     gen: sampling config; ``max_new_tokens`` bounds each request.
     chunk: MAX decode ticks per host sync (the top of the compiled
         chunk ladder; actual chunk length adapts per step).
+    auto_param_layouts: compile the decode program with AUTO input
+        layouts, MATERIALIZE params/state in the layouts it declares,
+        and pin every other program to them (runtime/layouts.py).  At
+        7B, default layouts make XLA insert ~3.2 GiB of in-program
+        transposed weight copies — over HBM on one chip; AUTO layouts
+        are how the 7B engine fits (same trick as scripts/run_7b_chip).
+        Donation keeps state layouts stable across the program ladder
+        (an aliased output inherits its input's layout).
+    donate_params: with auto_param_layouts, DELETE the caller's param
+        buffers as each leaf is relayouted (peak extra HBM = one leaf —
+        required at 7B, where a second param copy cannot coexist).
+        Default False: the caller's tree stays valid, at the cost of a
+        transient full copy.
     """
 
     def __init__(
@@ -99,6 +112,8 @@ class ServingEngine:
         cache_dtype=jnp.bfloat16,
         seed: int = 0,
         lookahead: int = 2,
+        auto_param_layouts: bool = False,
+        donate_params: bool = False,
     ):
         self.model = model
         self.params = params
@@ -156,7 +171,7 @@ class ServingEngine:
                 done = done.at[slots_].set(tok == gen.eos_token_id)
                 return cache, kv_mask, tokens, indices, done
 
-            return jax.jit(prefill_prog, donate_argnums=(1, 2, 3, 4, 5))
+            return prefill_prog
 
         # prefill ladder: one compiled program per power-of-two
         # admission size (built lazily; warmup() precompiles)
@@ -186,7 +201,7 @@ class ServingEngine:
                 )
                 return cache, tok, indices, done, jnp.swapaxes(toks, 0, 1)
 
-            return jax.jit(decode_chunk_prog, donate_argnums=(1, 3, 4, 5))
+            return decode_chunk_prog
 
         # decode-chunk ladder: compiled scan programs of a few lengths;
         # step() picks one queue-aware (see step()).
@@ -195,8 +210,104 @@ class ServingEngine:
         })
         self._decode_ladder = {}
         self._make_decode_prog = make_decode_prog
+        self._auto = auto_param_layouts
+        self._donate_params = donate_params
+        self._fmt = None  # input formats chosen by the first AUTO compile
 
     # ---- internals ----
+
+    def _decode_args(self, key):
+        return (self.params, self._cache, self._kv_mask, self._tokens,
+                self._indices, self._done, key)
+
+    @staticmethod
+    def _aot(fn, example_args, donate, in_shardings, out_shardings=None):
+        import jax.tree_util as jtu
+
+        kw = {} if out_shardings is None else {
+            "out_shardings": out_shardings
+        }
+        jf = jax.jit(fn, in_shardings=in_shardings, donate_argnums=donate,
+                     **kw)
+        abstract = jtu.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), example_args
+        )
+        return jf.lower(*abstract).compile()
+
+    def _establish_formats(self) -> None:
+        """AUTO-compile the top decode program, materialize params AND
+        engine state in the layouts it declares, and remember them so
+        every other ladder program is pinned to the same formats."""
+        if self._fmt is not None:
+            return
+        from jax.experimental.layout import Format, Layout
+
+        from egoscaler_tpu.runtime.layouts import relayout_tree
+
+        c = self._decode_sizes[-1]
+        key = jax.random.PRNGKey(0)
+        compiled = self._aot(
+            self._make_decode_prog(c), self._decode_args(key),
+            donate=(1, 3, 4, 5), in_shardings=Format(Layout.AUTO),
+            out_shardings=Format(Layout.AUTO),
+        )
+        fmt = compiled.input_formats[0]
+        # leaf-by-leaf relayout (with donate_params, peak extra HBM =
+        # one leaf; otherwise the caller's buffers are left intact)
+        self.params = relayout_tree(
+            self.params, fmt[0], delete_src=self._donate_params
+        )
+        self._cache = relayout_tree(self._cache, fmt[1])
+        self._kv_mask = relayout_tree(self._kv_mask, fmt[2])
+        self._tokens = relayout_tree(self._tokens, fmt[3])
+        self._indices = relayout_tree(self._indices, fmt[4])
+        self._done = relayout_tree(self._done, fmt[5])
+        self._fmt = fmt
+        self._decode_ladder[c] = compiled
+
+    def _get_decode(self, c: int):
+        prog = self._decode_ladder.get(c)
+        if prog is not None:
+            return prog
+        fn = self._make_decode_prog(c)
+        if not self._auto:
+            prog = jax.jit(fn, donate_argnums=(1, 3, 4, 5))
+        else:
+            self._establish_formats()
+            prog = self._decode_ladder.get(c)
+            if prog is None:  # another size than the top one
+                prog = self._aot(
+                    fn, self._decode_args(jax.random.PRNGKey(0)),
+                    donate=(1, 3, 4, 5), in_shardings=self._fmt,
+                )
+        self._decode_ladder[c] = prog
+        return prog
+
+    def _get_prefill(self, k: int):
+        prog = self._prefill_ladder.get(k)
+        if prog is not None:
+            return prog
+        fn = self._make_prefill_prog(k)
+        if not self._auto:
+            prog = jax.jit(fn, donate_argnums=(1, 2, 3, 4, 5))
+        else:
+            self._establish_formats()
+            npts = self.model.cfg.point_bert.npoints
+            example = (
+                self.params, self._cache, self._kv_mask, self._tokens,
+                self._indices, self._done,
+                jnp.zeros((k,), jnp.int32),
+                jnp.zeros((k, self.prompt_len), jnp.int32),
+                jnp.zeros((k, self.prompt_len), bool),
+                jnp.zeros((k, npts, 6), jnp.float32),
+                jax.random.PRNGKey(0),
+            )
+            pinned = self._fmt[:6] + (None,) * 5
+            prog = self._aot(
+                fn, example, donate=(1, 2, 3, 4, 5), in_shardings=pinned,
+            )
+        self._prefill_ladder[k] = prog
+        return prog
 
     def _ladder_sizes(self) -> List[int]:
         sizes, k = [], 1
@@ -215,9 +326,7 @@ class ServingEngine:
             slots_ = free[:k]
             free = free[k:]
             reqs = [self._queue.popleft() for _ in range(k)]
-            prog = self._prefill_ladder.get(k)
-            if prog is None:
-                prog = self._prefill_ladder[k] = self._make_prefill_prog(k)
+            prog = self._get_prefill(k)
             self._key, sub = jax.random.split(self._key)
             (self._cache, self._kv_mask, self._tokens, self._indices,
              self._done) = prog(
@@ -372,15 +481,10 @@ class ServingEngine:
         else:
             fits = [s for s in self._decode_sizes if s <= max(rems)]
             c = fits[-1] if fits else self._decode_sizes[0]
-        prog = self._decode_ladder.get(c)
-        if prog is None:
-            prog = self._decode_ladder[c] = self._make_decode_prog(c)
+        prog = self._get_decode(c)
         self._key, sub = jax.random.split(self._key)
         (self._cache, self._tokens, self._indices, self._done,
-         emitted) = prog(
-            self.params, self._cache, self._kv_mask, self._tokens,
-            self._indices, self._done, sub,
-        )
+         emitted) = prog(*self._decode_args(sub))
         for _, st in active:
             st.ticks_alloc += c
         self._inflight.append((emitted, active))

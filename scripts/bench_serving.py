@@ -49,15 +49,21 @@ def make_prompts(cfg, lay, n, seed=0):
 
 
 def run_engine(model, params, cfg, lay, gen, ids, mask, pcs, budgets,
-               slots, chunk):
+               slots, chunk, auto=False, engine_box=None):
     """One serving run; returns (wall_s, tokens_emitted, latencies)."""
     from egoscaler_tpu.serving import ServingEngine
 
-    eng = ServingEngine(
-        model, params, num_slots=slots, prompt_len=lay.prompt_len,
-        gen=gen, chunk=chunk,
-    )
-    eng.warmup()  # compile the prefill ladder + decode chunk
+    if engine_box and engine_box[0] is not None:
+        eng = engine_box[0]  # reuse (7B: params were relayouted/donated)
+    else:
+        eng = ServingEngine(
+            model, params, num_slots=slots, prompt_len=lay.prompt_len,
+            gen=gen, chunk=chunk, auto_param_layouts=auto,
+            donate_params=auto,  # 7B: a second param copy cannot coexist
+        )
+        eng.warmup()  # compile the prefill + decode ladders
+        if engine_box is not None:
+            engine_box[0] = eng
 
     t0 = time.perf_counter()
     rids = [
@@ -128,15 +134,20 @@ def run_static(model, params, cfg, lay, gen_template, ids, mask, pcs,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--tiny", action="store_true", help="tiny config, CPU")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config, CPU (same as --model tiny)")
+    ap.add_argument("--model", choices=["tiny", "flagship", "7b"],
+                    default="flagship")
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--out", default="SERVING_BENCH.json")
     args = ap.parse_args()
+    if args.tiny:
+        args.model = "tiny"
 
     import jax
-    if args.tiny:
+    if args.model == "tiny":
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
@@ -145,9 +156,15 @@ def main():
     from egoscaler_tpu.runtime.params import leafwise_bf16_params
     from egoscaler_tpu.training.dataset import BatchLayout
 
-    cfg = PointLLMConfig().tiny() if args.tiny else (
-        PointLLMConfig().flagship_tpu()
-    )
+    cfg = {
+        "tiny": lambda: PointLLMConfig().tiny(),
+        "flagship": lambda: PointLLMConfig().flagship_tpu(),
+        # full 7B: fits one chip ONLY with AUTO param layouts (see
+        # serving/engine.py auto_param_layouts + scripts/run_7b_chip.py)
+        "7b": lambda: PointLLMConfig(),
+    }[args.model]()
+    args.tiny = args.model == "tiny"
+    is_7b = args.model == "7b"
     lay = BatchLayout(cfg)
     model = TrajPointLLM(cfg, remat=False)
     max_tok = 16 if args.tiny else lay.answer_len
@@ -169,7 +186,8 @@ def main():
     }
 
     results = {
-        "model": "tiny" if args.tiny else "flagship_tpu (1.1B), bf16",
+        "model": {"tiny": "tiny", "flagship": "flagship_tpu (1.1B), bf16",
+                  "7b": "PointLLM-7B, bf16, AUTO param layouts"}[args.model],
         "device": str(jax.devices()[0]),
         "prompt_len": lay.prompt_len,
         "max_new_tokens": max_tok,
@@ -177,16 +195,13 @@ def main():
         "slots": args.slots,
         "chunk": args.chunk,
     }
+    engine_box = [None]
     for name, budgets in workloads.items():
         print(f"== workload {name} (sum budgets "
               f"{sum(budgets)}) ==", flush=True)
         e_wall, e_tok, lat = run_engine(
             model, params, cfg, lay, gen, ids, mask, pcs, budgets,
-            args.slots, args.chunk,
-        )
-        s_wall, s_tok = run_static(
-            model, params, cfg, lay, gen, ids, mask, pcs, budgets,
-            args.slots,
+            args.slots, args.chunk, auto=is_7b, engine_box=engine_box,
         )
         rec = {
             "budgets_sum": int(sum(budgets)),
@@ -198,14 +213,35 @@ def main():
                 "latency_mean_s": round(float(lat.mean()), 3),
                 "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
             },
-            "static_batching": {
+        }
+        if is_7b:
+            # a second 12.6 GiB param layout for generate() cannot
+            # coexist on the chip: the static reference is the AOT
+            # offline-generate number measured by scripts/run_7b_chip.py
+            ref = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "RUN_7B_CHIP.json",
+            )
+            if os.path.exists(ref):
+                with open(ref) as f:
+                    g = json.load(f).get("generate", {})
+                rec["offline_generate_reference"] = g
+                if g.get("tokens_per_sec"):
+                    rec["engine_speedup_vs_offline"] = round(
+                        (e_tok / e_wall) / g["tokens_per_sec"], 2
+                    )
+        else:
+            s_wall, s_tok = run_static(
+                model, params, cfg, lay, gen, ids, mask, pcs, budgets,
+                args.slots,
+            )
+            rec["static_batching"] = {
                 "wall_s": round(s_wall, 3),
                 "tokens": int(s_tok),
                 "tok_per_s": round(s_tok / s_wall, 1),
                 "req_per_s": round(n / s_wall, 2),
-            },
-            "engine_speedup": round(s_wall / e_wall, 2),
-        }
+            }
+            rec["engine_speedup"] = round(s_wall / e_wall, 2)
         results[name] = rec
         print(json.dumps(rec), flush=True)
 

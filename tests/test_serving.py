@@ -144,6 +144,20 @@ def test_prompt_shape_validation(setup):
         eng.submit(ids[0][:-1], mask[0][:-1], pcs[0])
 
 
+def test_auto_param_layouts_matches_oracle(setup):
+    """AOT AUTO-layout mode (the 7B-on-one-chip path): params and state
+    are materialized in the decode program's preferred layouts, every
+    ladder program pinned to them — tokens identical to the jit path."""
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=4, auto_param_layouts=True,
+    )
+    rids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(len(ids))]
+    results = eng.run()
+    _check(results, oracle, rids)
+
+
 def test_eos_early_stop_matches_oracle(setup):
     """A request that hits eos before its budget stops there (the lane
     idles its remaining planned ticks — never wrong tokens)."""
