@@ -237,6 +237,11 @@ def main():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--port", type=int, default=7810)
     p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--slots", type=int, default=0,
+                   help="> 0: serve through the continuous-batching "
+                        "engine with this many concurrent decode slots "
+                        "(serving/engine.py) instead of a global lock")
+    p.add_argument("--max_new_tokens", type=int, default=128)
     args = p.parse_args()
 
     import jax
@@ -264,15 +269,50 @@ def main():
 
         params = convert_pointllm(load_torch_file(args.checkpoint), cfg)
 
-    def respond(question: str) -> str:
-        return chat_once(
-            model, params, pc, question,
-            decode_fn=lambda t: f"<tokens {t.tolist()[:16]}...>",
+    decode_fn = lambda t: f"<tokens {t.tolist()[:16]}...>"  # noqa: E731
+
+    if args.slots > 0:
+        # concurrent path: HTTP threads share the engine's decode ticks
+        from egoscaler_tpu.models.pointllm import GenerateConfig
+        from egoscaler_tpu.serving import ServingEngine
+        from egoscaler_tpu.serving.frontend import EngineWorker
+
+        from egoscaler_tpu.models.pointbert import pc_norm
+
+        npts = cfg.point_bert.npoints
+        pc_n = np.asarray(pc_norm(jnp.asarray(pc)), np.float32)
+        sel = np.random.default_rng(0).choice(
+            pc_n.shape[0], npts, replace=pc_n.shape[0] < npts
         )
+        pc_model = pc_n[sel]
+        eng = ServingEngine(
+            model, params, num_slots=args.slots,
+            prompt_len=dummy_ids.shape[1],
+            gen=GenerateConfig(max_new_tokens=args.max_new_tokens),
+        )
+        eng.warmup()
+        worker = EngineWorker(eng)
+        tok = HashTextTokenizer()
+
+        def respond(question: str) -> str:
+            ids, mask = build_chat_prompt_ids(cfg, question, tok)
+            toks = worker.submit_and_wait(
+                ids[0], mask[0], pc_model, timeout=600.0
+            )
+            return decode_fn(toks)
+
+        serialize = False
+    else:
+        def respond(question: str) -> str:
+            return chat_once(model, params, pc, question,
+                             decode_fn=decode_fn)
+
+        serialize = True
 
     colors = pc[:, 3:6] if pc.shape[1] >= 6 else None
     server = ChatWebServer(
-        respond, pc[:, :3], colors, host=args.host, port=args.port
+        respond, pc[:, :3], colors, host=args.host, port=args.port,
+        serialize=serialize,
     )
     server.start()
     host, port = server.address

@@ -73,3 +73,70 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(_url(server, "/nope"))
     assert e.value.code == 404
+
+
+def test_concurrent_engine_backend():
+    """serialize=False + EngineWorker: parallel HTTP clients share the
+    continuous-batching engine and all get well-formed answers."""
+    import threading
+
+    import jax
+
+    from egoscaler_tpu.configs import PointLLMConfig
+    from egoscaler_tpu.models.chat import build_chat_prompt_ids
+    from egoscaler_tpu.models.pointllm import GenerateConfig, TrajPointLLM
+    from egoscaler_tpu.serving import ServingEngine
+    from egoscaler_tpu.serving.frontend import EngineWorker
+    from egoscaler_tpu.training.dataset import HashTextTokenizer
+
+    cfg = PointLLMConfig().tiny()
+    model = TrajPointLLM(cfg)
+    tok = HashTextTokenizer()
+    dummy_ids, _ = build_chat_prompt_ids(cfg, "hi", tok)
+    rng = np.random.default_rng(2)
+    pc = rng.normal(size=(cfg.point_bert.npoints, 6)).astype(np.float32)
+    import jax.numpy as jnp
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(dummy_ids), jnp.asarray(pc[None])
+    )
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=dummy_ids.shape[1],
+        gen=GenerateConfig(max_new_tokens=8, do_sample=False), chunk=4,
+    )
+    worker = EngineWorker(eng)
+
+    def respond(question: str) -> str:
+        ids, mask = build_chat_prompt_ids(cfg, question, tok)
+        toks = worker.submit_and_wait(ids[0], mask[0], pc, timeout=300.0)
+        return f"<{len(toks)} tokens>"
+
+    pts = pc[:, :3]
+    srv = ChatWebServer(respond, pts, serialize=False).start()
+    try:
+        answers = [None] * 4
+        errs = []
+
+        def call(i):
+            try:
+                req = urllib.request.Request(
+                    _url(srv, "/api/chat"),
+                    data=json.dumps({"question": f"q{i}"}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req) as r:
+                    answers[i] = json.loads(r.read())["answer"]
+            except Exception as e:  # surfaced below
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+        assert all(a == "<8 tokens>" for a in answers), answers
+    finally:
+        srv.stop()
+        worker.stop()
