@@ -98,20 +98,35 @@ class LlamaAttention(nn.Module):
                     (self.layer_idx, 0, cache_index, 0, 0),
                 )
             else:
-                # continuous batching (serving/engine.py): cache_index is
-                # (B,) — every slot decodes at its OWN position; one
-                # scatter row per slot, still no whole-cache copies
-                if s != 1:
-                    raise ValueError(
-                        "per-slot cache_index requires single-token decode"
-                    )
-                bidx = jnp.arange(b)
-                cache_k = cache_k.at[self.layer_idx, bidx, cache_index].set(
-                    k[:, 0].astype(cache_k.dtype)
+                # continuous batching (serving/engine.py) and speculative
+                # verify chunks (serving/speculative.py): cache_index is
+                # (B,) — every row reads/writes at its OWN position.  The
+                # s tokens of row b land at slots cache_index[b] + [0, s);
+                # one scatter per layer, still no whole-cache copies.
+                bidx = jnp.arange(b)[:, None]
+                rows = cache_index[:, None] + jnp.arange(s)[None, :]
+                cache_k = cache_k.at[self.layer_idx, bidx, rows].set(
+                    k.astype(cache_k.dtype)
                 )
-                cache_v = cache_v.at[self.layer_idx, bidx, cache_index].set(
-                    v[:, 0].astype(cache_v.dtype)
+                cache_v = cache_v.at[self.layer_idx, bidx, rows].set(
+                    v.astype(cache_v.dtype)
                 )
+                k_full = expand_kv(cache_k[self.layer_idx])
+                v_full = expand_kv(cache_v[self.layer_idx])
+                t = k_full.shape[1]
+                # (B, s) per-row query positions -> (B, 1, s, T) causal
+                causal = (
+                    jnp.arange(t)[None, None, :] <= rows[:, :, None]
+                )[:, None]
+                mask = causal
+                if kv_mask is not None:
+                    mask = mask & kv_mask[:, None, None, :t]
+                out = xla_attention(q, k_full, v_full, mask=mask)
+                out = out.reshape(b, s, h * hd)
+                out = nn.Dense(
+                    cfg.hidden_size, use_bias=False, name="o_proj"
+                )(out)
+                return out, cache_k, cache_v
             if s > 1:
                 # prefill: causal attention over the prompt itself equals
                 # attention over the cache (future slots are causally

@@ -161,6 +161,29 @@ class TrajPointLLM(nn.Module):
         return self.lm_head(x[:, -1]), cache
 
 
+    def decode_chunk(
+        self,
+        tokens: jax.Array,           # (B, S) int32 — small S (spec verify)
+        cache_index: jax.Array,      # (B,) per-row first write slot
+        attention_mask: jax.Array,   # (B, T_max)
+        cache: Dict[str, jax.Array],
+    ):
+        """Verify-chunk forward for speculative decoding: run S tokens
+        per row starting at per-row cache positions, returning ALL
+        logits (B, S, V).  Row b's tokens occupy cache slots
+        cache_index[b] + [0, S); stale speculative slots beyond the
+        accepted prefix are overwritten by the next chunk."""
+        b, s = tokens.shape
+        embeds = self.embed_tokens(tokens)
+        cache_index = jnp.asarray(cache_index, jnp.int32)
+        positions = cache_index[:, None] + jnp.arange(s, dtype=jnp.int32)
+        x, cache = self.layers(
+            embeds, positions, kv_mask=attention_mask,
+            cache=cache, cache_index=cache_index,
+        )
+        return self.lm_head(x), cache
+
+
 def sample_token(
     logits: jax.Array,
     key: jax.Array,
