@@ -137,6 +137,24 @@ class PointLLMConfig:
             ),
         )
 
+    def draft_tpu(self) -> "PointLLMConfig":
+        """Speculative-decoding draft (serving/speculative.py): the SAME
+        point_bert + tokenizer as flagship_tpu (identical prompt layout —
+        513 spliced point tokens, same extended vocab) with a ~25M
+        trunk, so the k+1 draft steps of a verify chunk cost a fraction
+        of one target decode step."""
+        return dataclasses.replace(
+            self,
+            llama=dataclasses.replace(
+                self.llama,
+                hidden_size=512,
+                intermediate_size=1376,
+                num_hidden_layers=4,
+                num_attention_heads=8,
+                num_key_value_heads=8,
+            ),
+        )
+
     def flagship_tpu(self) -> "PointLLMConfig":
         """Single-v5e-lite flagship: full PointBERT encoder (the reference's
         8192-point/512-group config) + a ~1.1B LLaMA trunk that fits one

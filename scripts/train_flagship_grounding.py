@@ -49,6 +49,11 @@ def main():
     ap.add_argument("--align_n", type=int, default=8192,
                     help="locate-corpus size for the alignment stage")
     ap.add_argument("--align_lr", type=float, default=4e-4)
+    ap.add_argument("--save_dir", default="",
+                    help="if set, dump best-ADE params (full_params tree, "
+                         "flattened npz, f32) for downstream runs — e.g. "
+                         "the speculative-decoding bench needs a TRAINED "
+                         "target model for meaningful acceptance rates")
     ap.add_argument("--locate_mix", type=float, default=0.0,
                     help="fraction of locate samples MIXED into the "
                          "fine-tune corpus (multi-task alternative to the "
@@ -239,6 +244,25 @@ def main():
             dump(complete=False)
             if rec.get("ade", float("inf")) < best["ade"]:
                 best = rec
+                if args.save_dir:
+                    from flax import traverse_util
+
+                    os.makedirs(args.save_dir, exist_ok=True)
+                    flat = traverse_util.flatten_dict(
+                        jax.device_get(state.full_params()), sep="/"
+                    )
+                    tmp = os.path.join(args.save_dir, "best_params.npz.tmp")
+                    with open(tmp, "wb") as f:
+                        np.savez(
+                            f,
+                            **{k: np.asarray(v).astype(np.float32)
+                               for k, v in flat.items()},
+                        )
+                    os.replace(
+                        tmp, os.path.join(args.save_dir, "best_params.npz")
+                    )
+                    print(f"  saved best params (ade {rec['ade']:.4f}) to "
+                          f"{args.save_dir}", flush=True)
 
     out = {
         "complete": True,
