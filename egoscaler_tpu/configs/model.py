@@ -9,7 +9,7 @@ PointLLM model, and the RT-2 trajectory-token vocabulary
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +47,12 @@ class LlamaConfig:
     max_position_embeddings: int = 2048
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # "int8": serve the projection matrices (q/k/v/o, gate/up/down and
+    # the fused model's lm_head) as int8 + per-channel scales through
+    # the Pallas w8a16 kernel (ops/quant_matmul.py) — decode is
+    # parameter-bandwidth bound, so this ~halves ms/step.  Params must
+    # come from models/quantize.quantize_decode_params.  None = bf16.
+    weight_quant: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

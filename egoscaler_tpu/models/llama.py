@@ -36,6 +36,43 @@ from egoscaler_tpu.ops.attention import (
 KVCache = Dict[str, jax.Array]  # {"k": (L, B, T, H, D), "v": ...}
 
 
+class QuantDense(nn.Module):
+    """Drop-in Dense(use_bias=False) serving int8 weights + per-channel
+    scales through the Pallas w8a16 kernel (ops/quant_matmul.py).
+
+    Params: kernel_q (K, N) int8, scale (N,) f32 — produced from a
+    trained Dense kernel by models/quantize.quantize_decode_params.
+    Inference-only (decode is where the bandwidth win is); training
+    keeps bf16 Dense.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from egoscaler_tpu.ops.quant_matmul import quant_matmul
+
+        k = x.shape[-1]
+        q = self.param(
+            "kernel_q",
+            lambda _, shape: jnp.zeros(shape, jnp.int8),
+            (k, self.features),
+        )
+        s = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        y = quant_matmul(x.reshape(-1, k), q, s)
+        return y.reshape(*x.shape[:-1], self.features)
+
+
+def make_dense(cfg: LlamaConfig, features: int, name: str) -> nn.Module:
+    """Dense or QuantDense per cfg.weight_quant (decode serving path)."""
+    if cfg.weight_quant == "int8":
+        return QuantDense(features, name=name)
+    assert cfg.weight_quant is None, cfg.weight_quant
+    return nn.Dense(features, use_bias=False, name=name)
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
 
@@ -67,12 +104,12 @@ class LlamaAttention(nn.Module):
         b, s, _ = x.shape
         h, hd = cfg.num_attention_heads, cfg.head_dim
         kvh = cfg.num_key_value_heads
-        q = nn.Dense(h * hd, use_bias=False, name="q_proj")(x).reshape(b, s, h, hd)
+        q = make_dense(cfg, h * hd, "q_proj")(x).reshape(b, s, h, hd)
         # GQA (LLaMA-2/3 70B, modeling_llama.py repeat_kv): k/v carry only
         # num_key_value_heads; the cache stays at kvh heads (h/kvh smaller)
         # and heads are repeated right before the attention contraction
-        k = nn.Dense(kvh * hd, use_bias=False, name="k_proj")(x).reshape(b, s, kvh, hd)
-        v = nn.Dense(kvh * hd, use_bias=False, name="v_proj")(x).reshape(b, s, kvh, hd)
+        k = make_dense(cfg, kvh * hd, "k_proj")(x).reshape(b, s, kvh, hd)
+        v = make_dense(cfg, kvh * hd, "v_proj")(x).reshape(b, s, kvh, hd)
 
         cos, sin = rope_table(cfg.max_position_embeddings, hd, cfg.rope_theta)
         q = apply_rope(q, cos, sin, positions)
@@ -123,9 +160,7 @@ class LlamaAttention(nn.Module):
                     mask = mask & kv_mask[:, None, None, :t]
                 out = xla_attention(q, k_full, v_full, mask=mask)
                 out = out.reshape(b, s, h * hd)
-                out = nn.Dense(
-                    cfg.hidden_size, use_bias=False, name="o_proj"
-                )(out)
+                out = make_dense(cfg, cfg.hidden_size, "o_proj")(out)
                 return out, cache_k, cache_v
             if s > 1:
                 # prefill: causal attention over the prompt itself equals
@@ -173,7 +208,7 @@ class LlamaAttention(nn.Module):
                 q, expand_kv(k), expand_kv(v), kv_mask
             )
         out = out.reshape(b, s, h * hd)
-        out = nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(out)
+        out = make_dense(cfg, cfg.hidden_size, "o_proj")(out)
         return out, cache_k, cache_v
 
 
@@ -183,9 +218,9 @@ class LlamaMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         cfg = self.cfg
-        gate = nn.Dense(cfg.intermediate_size, use_bias=False, name="gate_proj")(x)
-        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj")(x)
-        return nn.Dense(cfg.hidden_size, use_bias=False, name="down_proj")(
+        gate = make_dense(cfg, cfg.intermediate_size, "gate_proj")(x)
+        up = make_dense(cfg, cfg.intermediate_size, "up_proj")(x)
+        return make_dense(cfg, cfg.hidden_size, "down_proj")(
             nn.silu(gate) * up
         )
 

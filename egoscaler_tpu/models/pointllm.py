@@ -27,7 +27,7 @@ from flax import linen as nn
 from egoscaler_tpu.ops.gelu import gelu as pgelu
 
 from egoscaler_tpu.configs import PointLLMConfig
-from egoscaler_tpu.models.llama import LlamaModel, init_kv_cache
+from egoscaler_tpu.models.llama import LlamaModel, init_kv_cache, make_dense
 from egoscaler_tpu.models.pointbert import PointTransformer
 
 
@@ -64,8 +64,10 @@ class TrajPointLLM(nn.Module):
             cfg.extended_vocab_size, cfg.llama.hidden_size, name="embed_tokens"
         )
         self.layers = LlamaModel(cfg.llama, remat=self.remat, name="model")
-        self.lm_head = nn.Dense(
-            cfg.extended_vocab_size, use_bias=False, name="lm_head"
+        # lm_head follows the trunk's weight_quant: at decode it is the
+        # single largest weight read per step (extended_vocab x hidden)
+        self.lm_head = make_dense(
+            cfg.llama, cfg.extended_vocab_size, "lm_head"
         )
 
     def encode_points(self, point_clouds: jax.Array, train: bool = False):

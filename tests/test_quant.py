@@ -1,0 +1,175 @@
+"""int8 weight-only decode serving: kernel numerics, param transform,
+and end-to-end quantized generation quality on a trained tiny model.
+
+The reference has no quantized inference (HF fp16 generate,
+model_arch.py:77-108); this is the TPU-native serving extension —
+decode streams every weight per step, so int8 halves the bandwidth
+bound (ops/quant_matmul.py docstring)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from egoscaler_tpu.configs import PointLLMConfig, TrainConfig
+from egoscaler_tpu.models.llama import QuantDense
+from egoscaler_tpu.models.pointllm import (
+    GenerateConfig,
+    TrajPointLLM,
+    generate,
+)
+from egoscaler_tpu.models.quantize import (
+    quantize_decode_params,
+    quantized_param_bytes,
+)
+from egoscaler_tpu.ops.quant_matmul import (
+    dequantize_weight,
+    quant_matmul,
+    quant_matmul_xla,
+    quantize_weight,
+)
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(96, 130).astype(np.float32) * 0.05)
+    q, s = quantize_weight(w)
+    assert q.dtype == jnp.int8 and s.shape == (130,)
+    err = jnp.abs(dequantize_weight(q, s) - w)
+    # symmetric absmax/127: per-channel error <= scale/2
+    assert float(jnp.max(err - 0.5 * s[None, :])) <= 1e-6
+
+
+def test_kernel_matches_xla_oracle():
+    rng = np.random.RandomState(1)
+    for m, k, n in [(8, 256, 384), (3, 130, 200), (1, 64, 512)]:
+        w = jnp.asarray(rng.randn(k, n).astype(np.float32) * 0.02)
+        x = jnp.asarray(rng.randn(m, k).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
+        q, s = quantize_weight(w)
+        ref = quant_matmul_xla(x, q, s)
+        out = quant_matmul(x, q, s, block_n=128, block_k=64)
+        np.testing.assert_array_equal(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32)
+        )
+
+
+def test_quant_dense_close_to_dense():
+    from flax import linen as nn
+
+    rng = np.random.RandomState(2)
+    w = jnp.asarray(rng.randn(64, 48).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(5, 64).astype(np.float32))
+    dense = nn.Dense(48, use_bias=False)
+    ref = dense.apply({"params": {"kernel": w}}, x)
+    q, s = quantize_weight(w)
+    out = QuantDense(48).apply(
+        {"params": {"kernel_q": q, "scale": s}}, x
+    )
+    # error budget: int8 rounding (~scale/2 per weight) accumulated over K
+    rel = float(
+        jnp.max(jnp.abs(out - ref)) / jnp.maximum(jnp.max(jnp.abs(ref)), 1e-6)
+    )
+    assert rel < 0.02, rel
+
+
+@pytest.fixture(scope="module")
+def trained_tiny():
+    """A briefly-trained tiny model (same recipe as tests/test_model.py)."""
+    from egoscaler_tpu.training.dataset import (
+        BatchLayout,
+        TrajectoryDataset,
+        synthetic_structured_samples,
+    )
+    from egoscaler_tpu.training.trainer import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = PointLLMConfig().tiny()
+    lay = BatchLayout(cfg)
+    model = TrajPointLLM(cfg, remat=False)
+    ds = TrajectoryDataset(
+        cfg, samples=synthetic_structured_samples(cfg, 16, seed=0), seed=0
+    )
+    batch = next(ds.batches(4, shuffle=False))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in batch.items()
+        if k in ("input_ids", "attention_mask", "point_clouds")
+    }
+    tc = TrainConfig(
+        batch_size=4, lr=1e-3,
+        unfreeze_pc_encoder=True, unfreeze_language_model=True,
+    )
+    state, tx = create_train_state(model, tc, jax.random.PRNGKey(0), batch, 60)
+    step = make_train_step(model, tx, lay.prompt_len, 1)
+    for _ in range(12):
+        state, _ = step(state, batch)
+    return cfg, lay, state.full_params(), batch
+
+
+def test_quantized_generate_matches_bf16(trained_tiny):
+    cfg, lay, params, batch = trained_tiny
+    prompt = batch["input_ids"][:, : lay.prompt_len]
+    pmask = batch["attention_mask"][:, : lay.prompt_len].astype(bool)
+    pcs = batch["point_clouds"]
+    gen = GenerateConfig(max_new_tokens=16, do_sample=False)
+
+    base = TrajPointLLM(cfg, remat=False)
+    tok_ref, len_ref = generate(
+        base, params, prompt, pmask, pcs, jax.random.PRNGKey(1), gen
+    )
+
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+    )
+    qmodel = TrajPointLLM(qcfg, remat=False)
+    qparams = quantize_decode_params(params)
+    tok_q, len_q = generate(
+        qmodel, qparams, prompt, pmask, pcs, jax.random.PRNGKey(1), gen
+    )
+
+    # int8 rounding can flip near-ties; on a trained model the greedy
+    # streams must agree almost everywhere
+    agree = float(jnp.mean((tok_ref == tok_q).astype(jnp.float32)))
+    assert agree >= 0.9, agree
+
+    # param tree really shrank: projections+head are ~all the params
+    ratio = quantized_param_bytes(qparams) / quantized_param_bytes(
+        jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params
+        )
+    )
+    # tiny config: lm_head (the dominant quantized leaf) halves, the
+    # equally-large embed_tokens stays bf16 -> ~0.75 expected; flagship
+    # (trunk-dominated) reaches ~0.55
+    assert ratio < 0.8, ratio
+
+
+def test_quantized_init_structure_matches_transform(trained_tiny):
+    """model.init under weight_quant produces the same tree structure the
+    transform emits — converted params load without surgery."""
+    cfg, lay, params, batch = trained_tiny
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+    )
+    qmodel = TrajPointLLM(qcfg, remat=False)
+    init = jax.eval_shape(
+        lambda: qmodel.init(
+            jax.random.PRNGKey(0),
+            batch["input_ids"][:1],
+            batch["point_clouds"][:1],
+        )
+    )
+    qparams = quantize_decode_params(params)
+    from flax import traverse_util
+
+    flat_init = traverse_util.flatten_dict(init)
+    flat_q = traverse_util.flatten_dict(qparams)
+    assert set(flat_init.keys()) == set(flat_q.keys())
+    for k in flat_init:
+        assert flat_init[k].shape == jnp.shape(flat_q[k]), k
