@@ -32,6 +32,14 @@ def leafwise_bf16_params(model, *example_args, scale: float = 0.02):
                 outs.append(
                     scale * jax.random.normal(kk, s.shape, jnp.bfloat16)
                 )
+            elif s.dtype == jnp.int8:
+                # quantized decode weights (models/quantize.py): random
+                # int8 so timing runs see realistic, incompressible data
+                kk = jax.random.fold_in(key, i)
+                outs.append(
+                    jax.random.randint(kk, s.shape, -127, 128, jnp.int32)
+                    .astype(jnp.int8)
+                )
             else:
                 outs.append(jnp.zeros(s.shape, s.dtype))
         return outs
