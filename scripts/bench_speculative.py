@@ -44,10 +44,17 @@ def main():
     ap.add_argument("--eval_bs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--ks", type=int, nargs="+", default=[3, 4, 6])
+    ap.add_argument("--quant", action="store_true",
+                    help="also measure the int8 target (weight_quant="
+                         "'int8', models/quantize.py): speculative "
+                         "chunking and int8 streaming compose — both "
+                         "attack the same per-step weight-read bound")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default=os.path.join(ROOT,
                                                   "SPECULATIVE_BENCH.json"))
     args = ap.parse_args()
+
+    import dataclasses
 
     import jax
     if args.tiny:
@@ -196,6 +203,61 @@ def main():
         }
         print(json.dumps(rec), flush=True)
         results["speculative"].append(rec)
+
+    if args.quant:
+        # int8 target: the verify chunk and the plain decode both stream
+        # every weight per step, so w8a16 (ops/quant_matmul.py) halves
+        # that traffic INDEPENDENTLY of speculative chunking — measure
+        # the composition.  int8 rounding can flip near-argmax ties, so
+        # the spec-vs-plain equality is asserted against the int8
+        # target's OWN greedy stream (still token-exact by construction).
+        from egoscaler_tpu.models.quantize import quantize_decode_params
+
+        qtcfg = dataclasses.replace(
+            tcfg_model,
+            llama=dataclasses.replace(tcfg_model.llama, weight_quant="int8"),
+        )
+        qtarget = TrajPointLLM(qtcfg, remat=False)
+        qtparams = jax.jit(quantize_decode_params)(tparams)
+        qbase_fn = jax.jit(lambda p, i, m, c: generate(
+            qtarget, p, i, m, c, jax.random.PRNGKey(2), gen
+        ))
+        qbt, qtok, qbouts = timed_tokens(qbase_fn, qtparams, prompt,
+                                         pmask, pcs)
+        results["int8_baseline"] = {
+            "ms": round(qbt * 1e3, 2),
+            "tok_s": round(qtok / qbt, 1),
+            "speedup_vs_bf16": round(bt / qbt, 3),
+            "greedy_agreement_vs_bf16": round(float(jnp.mean(
+                (qbouts[0] == bouts[0]).astype(jnp.float32))), 4),
+        }
+        print(json.dumps(results["int8_baseline"]), flush=True)
+        results["int8_speculative"] = []
+        for k in args.ks:
+            spec_fn = jax.jit(
+                lambda p, dp, i, m, c, _k=k: speculative_generate(
+                    qtarget, p, draft, dp, i, m, c, gen, k=_k
+                )
+            )
+            st, spec_tokens, souts = timed_tokens(
+                spec_fn, qtparams, dparams, prompt, pmask, pcs
+            )
+            stats = jax.device_get(souts[2])
+            chunks = max(int(stats["chunks"]), 1)
+            rec = {
+                "k": k,
+                "ms": round(st * 1e3, 2),
+                "tok_s": round(spec_tokens / st, 1),
+                "speedup_vs_bf16_plain": round(bt / st, 3),
+                "speedup_vs_int8_plain": round(qbt / st, 3),
+                "token_exact_vs_int8_plain": bool(
+                    jnp.all(souts[0] == qbouts[0])
+                ),
+                "mean_accepted_per_chunk": round(
+                    int(stats["drafts_accepted"]) / chunks, 3),
+            }
+            print(json.dumps(rec), flush=True)
+            results["int8_speculative"].append(rec)
 
     results["wall_s"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:

@@ -150,6 +150,72 @@ def test_quantized_generate_matches_bf16(trained_tiny):
     assert ratio < 0.8, ratio
 
 
+def test_quantized_speculative_token_exact(trained_tiny):
+    """int8 target composes with speculative decoding: spec output is
+    token-exact vs the int8 target's own greedy generate (the invariant
+    speculation guarantees regardless of weight precision)."""
+    from egoscaler_tpu.serving.speculative import speculative_generate
+
+    cfg, lay, params, batch = trained_tiny
+    prompt = batch["input_ids"][:, : lay.prompt_len]
+    pmask = batch["attention_mask"][:, : lay.prompt_len].astype(bool)
+    pcs = batch["point_clouds"]
+    gen = GenerateConfig(max_new_tokens=12, do_sample=False)
+
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+    )
+    qmodel = TrajPointLLM(qcfg, remat=False)
+    qparams = quantize_decode_params(params)
+
+    tok_plain, _ = generate(
+        qmodel, qparams, prompt, pmask, pcs, jax.random.PRNGKey(1), gen
+    )
+    # draft = the bf16 model (weights differ numerically -> imperfect
+    # acceptance, exercising the reject path too)
+    dmodel = TrajPointLLM(cfg, remat=False)
+    tok_spec, _, stats = speculative_generate(
+        qmodel, qparams, dmodel, params, prompt, pmask, pcs, gen, k=3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tok_spec), np.asarray(tok_plain)
+    )
+    assert int(stats["chunks"]) > 0
+
+
+def test_quantized_engine_matches_offline(trained_tiny):
+    """int8 model serves through the continuous-batching engine
+    token-exactly vs its own offline generate."""
+    from egoscaler_tpu.serving import ServingEngine
+
+    cfg, lay, params, batch = trained_tiny
+    ids = np.asarray(batch["input_ids"][:, : lay.prompt_len])
+    mask = np.asarray(batch["attention_mask"][:, : lay.prompt_len]) > 0
+    pcs = np.asarray(batch["point_clouds"])
+    gen = GenerateConfig(max_new_tokens=10, do_sample=False)
+
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+    )
+    qmodel = TrajPointLLM(qcfg, remat=False)
+    qparams = quantize_decode_params(params)
+
+    toks, lens = generate(
+        qmodel, qparams, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(pcs), jax.random.PRNGKey(1), gen,
+    )
+    eng = ServingEngine(
+        qmodel, qparams, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=4,
+    )
+    req_ids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(len(ids))]
+    results = eng.run()
+    for i, rid in enumerate(req_ids):
+        n = int(lens[i])
+        want = np.asarray(toks[i])[: min(n + 1, gen.max_new_tokens)]
+        np.testing.assert_array_equal(results[rid], want)
+
+
 def test_quantized_init_structure_matches_transform(trained_tiny):
     """model.init under weight_quant produces the same tree structure the
     transform emits — converted params load without surgery."""
