@@ -141,6 +141,12 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--quant", action="store_true",
+                    help="serve int8 weights through the Pallas w8a16 "
+                         "kernel (models/quantize.py); at 7B this also "
+                         "sidesteps the AUTO-layout requirement — int8 "
+                         "weights feed pallas_call directly, no "
+                         "transposed in-program copies")
     ap.add_argument("--out", default="SERVING_BENCH.json")
     args = ap.parse_args()
     if args.tiny:
@@ -165,6 +171,13 @@ def main():
     }[args.model]()
     args.tiny = args.model == "tiny"
     is_7b = args.model == "7b"
+    if args.quant:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+        )
+        is_7b = False  # int8 params need no AUTO layouts (pallas operands)
     lay = BatchLayout(cfg)
     model = TrajPointLLM(cfg, remat=False)
     max_tok = 16 if args.tiny else lay.answer_len
@@ -185,9 +198,12 @@ def main():
         "mixed": mixed,
     }
 
+    if args.quant and args.out == "SERVING_BENCH.json":
+        args.out = "SERVING_BENCH_INT8.json"
     results = {
         "model": {"tiny": "tiny", "flagship": "flagship_tpu (1.1B), bf16",
-                  "7b": "PointLLM-7B, bf16, AUTO param layouts"}[args.model],
+                  "7b": "PointLLM-7B, bf16, AUTO param layouts"}[args.model]
+        + (" + int8 weights (w8a16 Pallas)" if args.quant else ""),
         "device": str(jax.devices()[0]),
         "prompt_len": lay.prompt_len,
         "max_new_tokens": max_tok,
