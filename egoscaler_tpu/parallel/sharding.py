@@ -32,6 +32,16 @@ LLAMA_RULES: Tuple[Tuple[str, P], ...] = (
     # extended vocab embedding / head: shard vocab dim
     (r".*embed_tokens/embedding$", P("model", None)),
     (r".*lm_head/kernel$", P(None, "model")),
+    # int8 decode weights (models/quantize.py): kernel_q shards exactly
+    # like kernel; per-OUTPUT-channel scales follow the output dim —
+    # sharded for column-parallel, replicated for row-parallel (the
+    # proj names keep these rules off LayerNorm 'scale' params)
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)/kernel_q$",
+     P(None, "model")),
+    (r".*(q_proj|k_proj|v_proj|gate_proj|up_proj|lm_head)/scale$",
+     P("model")),
+    (r".*(o_proj|down_proj)/kernel_q$", P("model", None)),
+    (r".*(o_proj|down_proj)/scale$", P()),
     # point backbone + projector: small, replicated
     (r".*", P()),
 )

@@ -216,6 +216,66 @@ def test_quantized_engine_matches_offline(trained_tiny):
         np.testing.assert_array_equal(results[rid], want)
 
 
+def test_quantized_generation_under_mesh_matches_single_device(trained_tiny):
+    """int8 params shard under the TP rules (parallel/sharding.py
+    kernel_q/scale rows) and mesh generation matches single-device.
+    On hardware the pallas custom call itself runs GSPMD-replicated
+    (weights gathered) — TP int8 is a correctness path; the bandwidth
+    win is the single-chip serving mode."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from egoscaler_tpu.configs import MeshConfig
+    from egoscaler_tpu.parallel.mesh import make_mesh
+    from egoscaler_tpu.parallel.sharding import param_specs
+
+    cfg, lay, params, batch = trained_tiny
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+    )
+    qmodel = TrajPointLLM(qcfg, remat=False)
+    qparams = quantize_decode_params(params)
+    prompt = batch["input_ids"][:, : lay.prompt_len]
+    pmask = batch["attention_mask"][:, : lay.prompt_len].astype(bool)
+    pcs = batch["point_clouds"]
+    gen = GenerateConfig(max_new_tokens=8, do_sample=False, eos_token_id=-1)
+
+    ref, _ = generate(
+        qmodel, qparams, prompt, pmask, pcs, jax.random.PRNGKey(1), gen,
+        cache_dtype=jnp.float32,
+    )
+
+    specs = param_specs(qparams)
+    # the rules must actually shard the quant leaves over `model`
+    from flax import traverse_util
+
+    flat_specs = traverse_util.flatten_dict(specs, sep="/")
+    assert any(
+        "kernel_q" in k and s == P(None, "model")
+        for k, s in flat_specs.items()
+    )
+    assert any(
+        k.endswith("q_proj/scale") and s == P("model")
+        for k, s in flat_specs.items()
+    )
+
+    mesh = make_mesh(MeshConfig(data=4, model=2))
+    shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    sharded = jax.device_put(qparams, shardings)
+    data_sh = NamedSharding(mesh, P("data"))
+    with mesh:
+        toks, _ = generate(
+            qmodel, sharded,
+            jax.device_put(prompt, data_sh),
+            jax.device_put(pmask, data_sh),
+            jax.device_put(pcs, data_sh),
+            jax.random.PRNGKey(1), gen, cache_dtype=jnp.float32,
+        )
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref))
+
+
 def test_quantized_init_structure_matches_transform(trained_tiny):
     """model.init under weight_quant produces the same tree structure the
     transform emits — converted params load without surgery."""
