@@ -50,3 +50,32 @@ def test_stage_timer():
     s = t.summary()
     assert s["depth"]["count"] == 8
     assert memory_mb() > 10
+
+
+def test_leafwise_materializer_fills_int8_leaves():
+    """Quantized trees (models/quantize.py) materialize with RANDOM int8
+    weights so timing runs stream incompressible data, while non-float
+    non-int8 leaves stay zero."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.configs import PointLLMConfig
+    from egoscaler_tpu.models.pointllm import TrajPointLLM
+    from egoscaler_tpu.runtime.params import leafwise_bf16_params
+
+    cfg = PointLLMConfig().tiny()
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+    )
+    model = TrajPointLLM(qcfg, remat=False)
+    ids = jnp.full((1, 8), 5, jnp.int32)
+    pc = jnp.zeros((1, cfg.point_bert.npoints, 6), jnp.float32)
+    params = leafwise_bf16_params(model, ids, pc)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    int8_leaves = [l for _, l in flat if l.dtype == jnp.int8]
+    assert int8_leaves, "quant model should carry int8 leaves"
+    for leaf in int8_leaves:
+        assert int(jnp.sum(jnp.abs(leaf.astype(jnp.int32)))) > 0
+        assert int(jnp.max(leaf)) <= 127 and int(jnp.min(leaf)) >= -127
