@@ -34,6 +34,18 @@ answer:
 
 Slot reuse needs no cache scrubbing: a position's K/V row is always
 rewritten by the new request before its causal mask can see it.
+
+Speculative mode (``draft_model=``): each dispatch runs a lax.scan of
+``chunk`` draft-propose/target-verify rounds (serving/speculative.py
+semantics, greedy-exact per slot) and returns ONE packed int32 array
+``(B, chunk, k+2)`` = [count | k+1 token lanes] — a single relay fetch
+per dispatch no matter how many tokens a round accepts.  Slots advance
+by a variable ``a+1`` tokens per round, so slot release is
+harvest-driven (a finished request is discovered when its chunk is
+fetched) instead of budget-predicted; the dispatch-ahead window bounds
+the extra speculative rounds a finished lane burns.  Composes with
+``weight_quant="int8"`` params — speculation amortizes the per-step
+weight read, int8 halves it.
 """
 from __future__ import annotations
 
@@ -114,6 +126,9 @@ class ServingEngine:
         lookahead: int = 2,
         auto_param_layouts: bool = False,
         donate_params: bool = False,
+        draft_model: Optional[TrajPointLLM] = None,
+        draft_params: Any = None,
+        spec_k: int = 4,
     ):
         self.model = model
         self.params = params
@@ -122,7 +137,25 @@ class ServingEngine:
         self.gen = gen
         self.chunk = chunk
         self._key = jax.random.PRNGKey(seed)
-        t_max = prompt_len + gen.max_new_tokens
+        self._spec = draft_model is not None
+        self.spec_k = spec_k
+        if self._spec:
+            if gen.do_sample:
+                raise ValueError(
+                    "speculative serving is greedy-exact; use "
+                    "GenerateConfig(do_sample=False)"
+                )
+            if auto_param_layouts:
+                raise ValueError(
+                    "auto_param_layouts is not supported in speculative "
+                    "mode (int8 params fit 7B without it)"
+                )
+        # spec verify chunks write up to k+1 slots past the accepted
+        # prefix — the cache carries that slack (serving ticks stop at
+        # prompt_len + max_new, so writes stay in bounds)
+        t_max = prompt_len + gen.max_new_tokens + (
+            spec_k + 1 if self._spec else 0
+        )
         self.t_max = t_max
 
         b = num_slots
@@ -214,6 +247,135 @@ class ServingEngine:
         self._donate_params = donate_params
         self._fmt = None  # input formats chosen by the first AUTO compile
 
+        if self._spec:
+            self.draft_model = draft_model
+            self.draft_params = draft_params
+            self._dcache = init_kv_cache(
+                draft_model.cfg.llama, b, t_max, cache_dtype
+            )
+            eos = gen.eos_token_id
+            cap = prompt_len + gen.max_new_tokens
+
+            def make_spec_prefill_prog(kk):
+                def prog(params, dparams, cache, dcache, kv_mask, tokens,
+                         indices, done, slots_, ids, pmask, pc):
+                    small = init_kv_cache(
+                        model.cfg.llama, kk, t_max, cache_dtype
+                    )
+                    dsmall = init_kv_cache(
+                        draft_model.cfg.llama, kk, t_max, cache_dtype
+                    )
+                    full_mask = jnp.concatenate(
+                        [pmask.astype(bool),
+                         jnp.ones((kk, t_max - prompt_len), bool)], axis=1,
+                    )
+                    logits, small = model.apply(
+                        params, ids, pc, full_mask, small,
+                        method=TrajPointLLM.prefill,
+                    )
+                    _, dsmall = draft_model.apply(
+                        dparams, ids, pc, full_mask, dsmall,
+                        method=TrajPointLLM.prefill,
+                    )
+                    cache = {
+                        "k": cache["k"].at[:, slots_].set(small["k"]),
+                        "v": cache["v"].at[:, slots_].set(small["v"]),
+                    }
+                    dcache = {
+                        "k": dcache["k"].at[:, slots_].set(dsmall["k"]),
+                        "v": dcache["v"].at[:, slots_].set(dsmall["v"]),
+                    }
+                    kv_mask = kv_mask.at[slots_].set(full_mask)
+                    tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    tokens = tokens.at[slots_].set(tok)
+                    indices = indices.at[slots_].set(prompt_len)
+                    done = done.at[slots_].set(tok == eos)
+                    return (cache, dcache, kv_mask, tokens, indices, done,
+                            tok)
+                return prog
+
+            self._make_spec_prefill_prog = make_spec_prefill_prog
+
+            def make_spec_prog(m):
+                kk = spec_k
+                jidx = jnp.arange(kk + 1, dtype=jnp.int32)[None, :]
+
+                def spec_prog(params, dparams, tcache, dcache, kv_mask,
+                              tokens, indices, done):
+                    def round_(carry, _):
+                        tok, tc, dc, idx, dn = carry
+
+                        # draft: k proposals + 1 ingest (speculative.py)
+                        def dstep(c2, _):
+                            t2, dc2, pos = c2
+                            lg, dc2 = draft_model.apply(
+                                dparams, t2, pos, kv_mask, dc2,
+                                method=TrajPointLLM.decode_step,
+                            )
+                            nxt = jnp.argmax(lg, -1).astype(jnp.int32)
+                            return (nxt, dc2, pos + 1), nxt
+
+                        (_, dc, _), drafts = jax.lax.scan(
+                            dstep, (tok, dc, idx), None, length=kk + 1
+                        )
+                        drafts = jnp.swapaxes(drafts[:kk], 0, 1)  # (B, k)
+
+                        chunk_in = jnp.concatenate(
+                            [tok[:, None], drafts], axis=1
+                        )
+                        lg, tc = model.apply(
+                            params, chunk_in, idx, kv_mask, tc,
+                            method=TrajPointLLM.decode_chunk,
+                        )
+                        greedy = jnp.argmax(lg, -1).astype(jnp.int32)
+                        match = (drafts == greedy[:, :kk]).astype(jnp.int32)
+                        a = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+                        bonus = jnp.take_along_axis(
+                            greedy, a[:, None], axis=1
+                        )[:, 0]
+                        drafts_p = jnp.concatenate(
+                            [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1
+                        )
+                        emit = jnp.where(
+                            jidx < a[:, None], drafts_p,
+                            jnp.where(jidx == a[:, None],
+                                      bonus[:, None], eos),
+                        )
+                        iseos = emit == eos
+                        seen = (jnp.cumsum(iseos.astype(jnp.int32), axis=1)
+                                - iseos) > 0
+                        emit = jnp.where(seen, eos, emit)
+                        last_new = jnp.take_along_axis(
+                            emit, a[:, None], axis=1
+                        )[:, 0]
+
+                        active = ~dn
+                        adv = jnp.where(active, a + 1, 0)
+                        idx = idx + adv
+                        dn = dn | (last_new == eos) | (idx > cap)
+                        tok = jnp.where(active, last_new, tok)
+                        # packed row: [emitted count | k+1 token lanes]
+                        row = jnp.concatenate(
+                            [adv[:, None],
+                             jnp.where(active[:, None], emit, eos)],
+                            axis=1,
+                        )  # (B, k+2)
+                        return (tok, tc, dc, idx, dn), row
+
+                    (tokens, tcache, dcache, indices, done), rows = (
+                        jax.lax.scan(
+                            round_,
+                            (tokens, tcache, dcache, indices, done),
+                            None, length=m,
+                        )
+                    )
+                    return (tcache, dcache, tokens, indices, done,
+                            jnp.swapaxes(rows, 0, 1))  # (B, m, k+2)
+
+                return spec_prog
+
+            self._make_spec_prog = make_spec_prog
+
     # ---- internals ----
 
     def _decode_args(self, key):
@@ -269,6 +431,12 @@ class ServingEngine:
         prog = self._decode_ladder.get(c)
         if prog is not None:
             return prog
+        if self._spec:
+            prog = jax.jit(
+                self._make_spec_prog(c), donate_argnums=(2, 3, 5, 6, 7)
+            )
+            self._decode_ladder[c] = prog
+            return prog
         fn = self._make_decode_prog(c)
         if not self._auto:
             prog = jax.jit(fn, donate_argnums=(1, 3, 4, 5))
@@ -286,6 +454,13 @@ class ServingEngine:
     def _get_prefill(self, k: int):
         prog = self._prefill_ladder.get(k)
         if prog is not None:
+            return prog
+        if self._spec:
+            prog = jax.jit(
+                self._make_spec_prefill_prog(k),
+                donate_argnums=(2, 3, 4, 5, 6, 7),
+            )
+            self._prefill_ladder[k] = prog
             return prog
         fn = self._make_prefill_prog(k)
         if not self._auto:
@@ -327,6 +502,33 @@ class ServingEngine:
             free = free[k:]
             reqs = [self._queue.popleft() for _ in range(k)]
             prog = self._get_prefill(k)
+            if self._spec:
+                (self._cache, self._dcache, self._kv_mask, self._tokens,
+                 self._indices, self._done, first_tok) = prog(
+                    self.params, self.draft_params, self._cache,
+                    self._dcache, self._kv_mask, self._tokens,
+                    self._indices, self._done,
+                    jnp.asarray(slots_, jnp.int32),
+                    jnp.asarray(np.stack([r.input_ids for r in reqs])),
+                    jnp.asarray(np.stack([r.prompt_mask for r in reqs])),
+                    jnp.asarray(np.stack([r.point_cloud for r in reqs])),
+                )
+                # spec rounds emit tokens AFTER the prefill sample; the
+                # sample itself is delivered here (one fetch per
+                # admission batch, amortized over the request lifetime)
+                first_tok = np.asarray(first_tok)
+                for s, req, t0 in zip(slots_, reqs, first_tok):
+                    st = _SlotState(req.req_id, [], req.budget)
+                    self._slots[s] = st
+                    st.tokens.append(int(t0))
+                    if (int(t0) == self.gen.eos_token_id
+                            or len(st.tokens) >= st.budget):
+                        st.finished = True
+                        st.delivered = True
+                        self._results[st.req_id] = np.asarray(
+                            st.tokens, np.int32
+                        )
+                continue
             self._key, sub = jax.random.split(self._key)
             (self._cache, self._kv_mask, self._tokens, self._indices,
              self._done) = prog(
@@ -356,6 +558,23 @@ class ServingEngine:
             for _ in range(k):
                 self.submit(ids, pmask, zeros_pc, max_new_tokens=1)
             self.run()
+        if self._spec:
+            # budget-1 requests finish at admission (the prefill sample
+            # fills them), so spec round programs are AOT-compiled here
+            import jax.tree_util as jtu
+
+            args = (self.params, self.draft_params, self._cache,
+                    self._dcache, self._kv_mask, self._tokens,
+                    self._indices, self._done)
+            abstract = jtu.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), args
+            )
+            for c in self._decode_sizes:
+                if c not in self._decode_ladder:
+                    jf = jax.jit(self._make_spec_prog(c),
+                                 donate_argnums=(2, 3, 5, 6, 7))
+                    self._decode_ladder[c] = jf.lower(*abstract).compile()
+            return
         for c in self._decode_sizes:
             self.submit(ids, pmask, zeros_pc,
                         max_new_tokens=min(c, self.gen.max_new_tokens))
@@ -405,10 +624,20 @@ class ServingEngine:
 
     def _harvest(self, emitted, snapshot) -> None:
         """Fetch one in-flight chunk's tokens (blocking if the device is
-        still on it) and append them to the snapshot's slot states."""
-        emitted = np.asarray(emitted)  # (B, c)
+        still on it) and append them to the snapshot's slot states.
+
+        Non-spec: ``emitted`` is (B, c), one token per tick.  Spec:
+        ``emitted`` is (B, m, k+2) packed rounds — [count | tokens];
+        only the first ``count`` tokens of a round are real."""
+        emitted = np.asarray(emitted)
         for slot, st in snapshot:
-            for tok in emitted[slot]:
+            if self._spec:
+                toks = []
+                for row in emitted[slot]:
+                    toks.extend(row[1:1 + int(row[0])].tolist())
+            else:
+                toks = emitted[slot]
+            for tok in toks:
                 if st.finished:
                     break
                 tok = int(tok)
@@ -448,10 +677,15 @@ class ServingEngine:
         for i, st in enumerate(self._slots):
             if st is None:
                 free.append(i)
-            elif st.ticks_alloc >= st.budget:
-                # request's planned ticks fully dispatched — its tokens
-                # live in _inflight snapshots; the LANE is reusable (the
-                # new prefill rewrites it strictly after the old chunks)
+            elif st.ticks_alloc >= st.budget or (
+                self._spec and st.finished
+            ):
+                # request's planned ticks fully dispatched (spec: every
+                # round emits >=1 token, so `budget` rounds always
+                # finish it; harvest-driven `finished` releases earlier
+                # when long prefixes were accepted) — its tokens live in
+                # _inflight snapshots; the LANE is reusable (the new
+                # prefill rewrites it strictly after the old chunks)
                 self._slots[i] = None
                 free.append(i)
         if free and self._queue:
@@ -482,9 +716,16 @@ class ServingEngine:
             fits = [s for s in self._decode_sizes if s <= max(rems)]
             c = fits[-1] if fits else self._decode_sizes[0]
         prog = self._get_decode(c)
-        self._key, sub = jax.random.split(self._key)
-        (self._cache, self._tokens, self._indices, self._done,
-         emitted) = prog(*self._decode_args(sub))
+        if self._spec:
+            (self._cache, self._dcache, self._tokens, self._indices,
+             self._done, emitted) = prog(
+                self.params, self.draft_params, self._cache, self._dcache,
+                self._kv_mask, self._tokens, self._indices, self._done,
+            )
+        else:
+            self._key, sub = jax.random.split(self._key)
+            (self._cache, self._tokens, self._indices, self._done,
+             emitted) = prog(*self._decode_args(sub))
         for _, st in active:
             st.ticks_alloc += c
         self._inflight.append((emitted, active))

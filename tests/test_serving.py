@@ -241,3 +241,107 @@ def test_engine_worker_stop_rejects_new_work(setup):
     worker.stop()
     with pytest.raises(RuntimeError):
         worker.submit_and_wait(ids[0], mask[0], pcs[0])
+
+
+def test_speculative_engine_matches_offline_generate(setup):
+    """Speculative continuous batching: per-slot draft-propose /
+    target-verify rounds, variable tokens per round, harvest-driven slot
+    release — token-exact vs offline greedy generate.  The draft here is
+    the TARGET itself (100% acceptance: the accept path at full
+    depth)."""
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=4, draft_model=model, draft_params=params,
+        spec_k=3,
+    )
+    rids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(len(ids))]
+    results = eng.run()
+    assert len(results) == len(ids)
+    _check(results, oracle, rids)
+
+
+def test_speculative_engine_imperfect_draft(setup):
+    """A DIFFERENT draft (fresh random init): near-zero acceptance
+    exercises the reject/bonus path; output must still be token-exact,
+    and per-request budgets + mid-stream admission still hold."""
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    dmodel = TrajPointLLM(cfg)
+    dparams = dmodel.init(
+        jax.random.PRNGKey(7), jnp.asarray(ids[:1]), jnp.asarray(pcs[:1])
+    )
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=3, draft_model=dmodel, draft_params=dparams,
+        spec_k=2,
+    )
+    budgets = [gen.max_new_tokens, 5, 3, gen.max_new_tokens, 7]
+    rids = [eng.submit(ids[i], mask[i], pcs[i], max_new_tokens=budgets[i])
+            for i in range(3)]
+    eng.step()
+    rids += [eng.submit(ids[i], mask[i], pcs[i], max_new_tokens=budgets[i])
+             for i in range(3, 5)]
+    results = eng.run()
+    for i, rid in enumerate(rids):
+        want = oracle[i][: budgets[i]]
+        np.testing.assert_array_equal(
+            results[rid], want, err_msg=f"request {i} diverged"
+        )
+
+
+def test_speculative_engine_eos_early_stop(setup):
+    """eos inside an accepted speculative window stops the request there
+    (harvest truncates; the lane is released for the queue)."""
+    cfg, lay, model, params, ids, mask, pcs, gen, _ = setup
+    base_toks, _ = generate(
+        model, params, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(pcs), jax.random.PRNGKey(1), gen,
+    )
+    eos = int(np.asarray(base_toks)[0, 3])
+    gen2 = GenerateConfig(
+        max_new_tokens=gen.max_new_tokens, do_sample=False,
+        eos_token_id=eos,
+    )
+    toks2, lens2 = generate(
+        model, params, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.asarray(pcs), jax.random.PRNGKey(1), gen2,
+    )
+    toks2, lens2 = np.asarray(toks2), np.asarray(lens2)
+    assert int(lens2[0]) < gen.max_new_tokens
+    oracle2 = [
+        toks2[i][: min(int(lens2[i]) + 1, gen2.max_new_tokens)]
+        for i in range(len(ids))
+    ]
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen2, chunk=4, draft_model=model, draft_params=params,
+        spec_k=3,
+    )
+    rids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(len(ids))]
+    results = eng.run()
+    _check(results, oracle2, rids)
+
+
+def test_speculative_engine_rejects_sampling():
+    cfg = PointLLMConfig().tiny()
+    model = TrajPointLLM(cfg)
+    with pytest.raises(ValueError, match="greedy"):
+        ServingEngine(
+            model, None, num_slots=2, prompt_len=8,
+            gen=GenerateConfig(do_sample=True),
+            draft_model=model, draft_params=None,
+        )
+
+
+def test_speculative_engine_warmup_precompiles(setup):
+    cfg, lay, model, params, ids, mask, pcs, gen, oracle = setup
+    eng = ServingEngine(
+        model, params, num_slots=2, prompt_len=lay.prompt_len,
+        gen=gen, chunk=2, draft_model=model, draft_params=params,
+        spec_k=2,
+    )
+    eng.warmup()
+    assert set(eng._decode_ladder.keys()) == set(eng._decode_sizes)
+    rids = [eng.submit(ids[i], mask[i], pcs[i]) for i in range(2)]
+    results = eng.run()
+    _check(results, oracle[:2], rids)
