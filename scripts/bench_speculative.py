@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--eval_bs", type=int, default=8)
     ap.add_argument("--lr", type=float, default=6e-4)
     ap.add_argument("--ks", type=int, nargs="+", default=[3, 4, 6])
+    ap.add_argument("--engine", action="store_true",
+                    help="also bench the serving ENGINE: plain continuous "
+                         "batching vs speculative continuous batching "
+                         "(requests = eval prompts repeated), tok/s each")
+    ap.add_argument("--engine_requests", type=int, default=24)
+    ap.add_argument("--engine_slots", type=int, default=8)
     ap.add_argument("--quant", action="store_true",
                     help="also measure the int8 target (weight_quant="
                          "'int8', models/quantize.py): speculative "
@@ -258,6 +264,52 @@ def main():
             }
             print(json.dumps(rec), flush=True)
             results["int8_speculative"].append(rec)
+
+    if args.engine:
+        # serving-engine regime: continuous batching, dispatch-ahead,
+        # one relay fetch per chunk/round-batch.  Same trained weights.
+        from egoscaler_tpu.serving import ServingEngine
+
+        n = args.engine_requests
+        ids_np = np.asarray(prompt)
+        mask_np = np.asarray(pmask)
+        pcs_np = np.asarray(pcs)
+        reqs = [(ids_np[i % ids_np.shape[0]], mask_np[i % ids_np.shape[0]],
+                 pcs_np[i % ids_np.shape[0]]) for i in range(n)]
+
+        def run_engine(draft=None, dp=None, k=4, chunk=16):
+            eng = ServingEngine(
+                target, tparams, num_slots=args.engine_slots,
+                prompt_len=lay.prompt_len, gen=gen, chunk=chunk,
+                draft_model=draft, draft_params=dp, spec_k=k,
+            )
+            eng.warmup()
+            te = time.perf_counter()
+            rids = [eng.submit(*r) for r in reqs]
+            out = eng.run()
+            wall = time.perf_counter() - te
+            toks = sum(len(out[r]) for r in rids)
+            return wall, toks
+
+        pw, ptok = run_engine()
+        results["engine_plain"] = {
+            "requests": n, "slots": args.engine_slots,
+            "wall_s": round(pw, 3), "tokens": ptok,
+            "tok_s": round(ptok / pw, 1),
+        }
+        print(json.dumps(results["engine_plain"]), flush=True)
+        best_k = args.ks[0] if len(args.ks) == 1 else (
+            max(results["speculative"], key=lambda r: r["tok_s"])["k"]
+            if results["speculative"] else 4
+        )
+        sw, stok = run_engine(draft=draft, dp=dparams, k=best_k,
+                              chunk=max(4, 16 // (best_k + 1)))
+        results["engine_speculative"] = {
+            "k": best_k, "wall_s": round(sw, 3), "tokens": stok,
+            "tok_s": round(stok / sw, 1),
+            "speedup_vs_plain_engine": round(pw / sw, 3),
+        }
+        print(json.dumps(results["engine_speculative"]), flush=True)
 
     results["wall_s"] = round(time.time() - t0, 1)
     with open(args.out, "w") as f:
