@@ -136,13 +136,19 @@ def main():
     step_fn = make_train_step(draft, tx, lay.prompt_len, 1)
     losses = []
     for epoch in range(args.draft_epochs):
-        for batch in tds.batches(args.bs, shuffle=True):
+        last = None
+        for i, batch in enumerate(tds.batches(args.bs, shuffle=True)):
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in ("input_ids", "attention_mask", "point_clouds")}
             state, m = step_fn(state, batch)
-            losses.append(float(m["loss"]))
+            # fetch sparsely: a per-step float() costs a ~28 ms relay
+            # round-trip — more than the draft step itself
+            if i % 64 == 0:
+                losses.append(float(m["loss"]))
+            last = m
+        losses.append(float(last["loss"]))
         print(f"draft epoch {epoch}: loss "
-              f"{np.mean(losses[-steps_per_epoch:]):.4f} "
+              f"{np.mean(losses[-max(steps_per_epoch // 64, 1):]):.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
     dparams = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16)
