@@ -7,9 +7,9 @@ Rebuild of the vendored hot3d loaders that need no projectaria:
     hand_index), so here one generic `Box2dProvider` serves both.
   * loader_masks.py — per-stream boolean masks + logical combination.
   * loader_hand_poses.py — MANO (pose_pca) / UmeTrack (joint_angles)
-    hand wrist poses from jsonl.  Mesh skinning needs the MANO asset
-    files and stays out of scope; wrist SE(3) + parameter vectors are
-    fully loaded.
+    hand wrist poses from jsonl.  Mesh/landmark skinning lives in
+    hand_skinning.py (UmeTrack FK+LBS asset-free; MANO gated on the
+    licensed pickle, math tested on synthetic assets).
   * pose_utils.py query_left_right / lookup_timestamp.
 
 Stream ids are plain strings ("214-1", "1201-1", ...) — no
@@ -358,9 +358,9 @@ class HandPose:
 
     `joint_angles` is the MANO pose_pca vector or the UmeTrack
     joint-angle vector depending on the source file; `betas` carries the
-    MANO shape parameters when present.  Mesh skinning (mano_layer.py /
-    umetrack_layer.py) requires the MANO asset files and is out of
-    scope — wrist pose and parameters are what the eval pipeline reads.
+    MANO shape parameters when present.  Posing full meshes/landmarks
+    from these parameters is `hand_skinning.ManoHandMeshProvider` /
+    `hand_skinning.UmeTrackHandMeshProvider`.
     """
 
     handedness: Handedness

@@ -97,6 +97,15 @@ _IRREGULAR = {
     "his": "his", "her": "her", "its": "its", "this": "this",
     "knives": "knife", "dishes": "dish", "glasses": "glass",
     "boxes": "box", "tongs": "tong", "scissors": "scissor",
+    "tomatoes": "tomato", "potatoes": "potato",
+    "measuring": "measure", "tuning": "tune",
+}
+
+_KEEP_ING = {
+    # -ing nouns whose stem is not a verb: never strip the suffix
+    "string", "spring", "wing", "king", "thing", "something", "anything",
+    "nothing", "everything", "during", "morning", "evening", "ceiling",
+    "building", "earring", "icing", "awning", "railing",
 }
 
 _KEEP_S = {
@@ -115,8 +124,10 @@ def lemmatize_word(w: str) -> str:
         return w[:-3] + "y"
     if w.endswith("sses") or w.endswith("ches") or w.endswith("shes") or w.endswith("xes"):
         return w[:-2]
-    if w.endswith("ing") and len(w) > 5:
+    if w.endswith("ing") and len(w) > 5 and w not in _KEEP_ING:
         stem = w[:-3]
+        if not any(ch in "aeiouy" for ch in stem):
+            return w  # 'string', 'spring': -ing is part of the noun
         if len(stem) > 2 and stem[-1] == stem[-2]:  # cutting -> cut
             return stem[:-1]
         if not stem.endswith(("e", "y")) and stem[-1] not in "aeiou":
@@ -156,22 +167,74 @@ _STOP_OBJECT = {
 }
 
 
+# Action-verb lemma lexicon used to LOCATE the verb inside a narration
+# (the reference locates it with a spaCy dependency parse,
+# suject_verb_object_extraction.py:155-160; rule-based extraction needs
+# a lexicon instead).  Aux verbs (be/do/have) are deliberately absent so
+# progressives ("c be cutting ...") and negations ("c do not pick ...")
+# resolve to the content verb.
+_ACTION_VERBS = frozenset(
+    """pick put take get grab hold lift move place set open close cut
+    slice chop dice peel stir pour mix whisk knead roll flip sprinkle
+    measure rinse drain taste add remove transfer scoop crack spread dip
+    grate wash wipe unscrew screw tighten loosen spin insert pump attach
+    detach adjust strum pluck tune press turn swab sanitize squeeze
+    shake hang lay fold carry hand walk stand sit push pull drop throw
+    catch point reach release raise lower slide twist rotate bend tear
+    rip break pinch tap touch rub scrub sweep brush paint drill hammer
+    saw sand glue tape clip clamp wrap unwrap tie untie zip unzip plug
+    unplug switch toggle weigh count check inspect examine read write
+    draw erase type click connect disconnect assemble disassemble
+    install mount fasten stack arrange align pat knock dust soak strain
+    serve scrape ladle crush mash trim bow play pause stop start begin
+    finish empty fill load unload climb kneel crouch stretch massage
+    inflate deflate patch seal apply spray wring cook make use give
+    keep shift lean flatten smooth season garnish toss drizzle""".split()
+)
+
+# Subject/verb boundary scan window: narrations put the verb within the
+# first few tokens ("c ...", "the man ...", "c and his partner ...").
+_VERB_SCAN_WINDOW = 6
+
+
 def extract_verb_obj(desc: str) -> Tuple[Optional[str], Optional[str]]:
     """nlp_tools.py:20-34: (verb, object) from a lemmatized description.
 
     The reference replaces the leading subject token with 'I' and runs a
-    dependency-parse SVO extractor; our pattern grammar covers the
-    subject-verb(-particle)-object shape of atomic descriptions.
-    Returns lemmatized verb (with particle, e.g. 'pick up') and the
-    object noun phrase with articles stripped.
+    dependency-parse SVO extractor (suject_verb_object_extraction.py:
+    285-326); our pattern grammar covers the subject-verb(-particle)-
+    object shape of atomic narrations: the verb is the first
+    action-lexicon lemma in the scan window (handles pronoun and
+    multi-word subjects, adverbs, progressives), an immediately
+    following particle joins it ('pick up'), and the object is the next
+    noun phrase up to a preposition/conjunction, determiners stripped.
+    Returns (lemmatized verb [+ particle], object) — both None when no
+    verb is found, object None when absent or a bare pronoun.
+
+    Documented divergences from the spaCy extractor (tests/
+    test_svo_corpus.py pins each): verbs carry their particle (reference
+    returns the bare verb), bare-pronoun objects map to None (reference
+    returns 'it'), negation is not marked with '!', passives lose the
+    object instead of swapping roles, only the first (verb, object) pair
+    is returned for conjoined verbs/objects, and a subject noun that is
+    also an action lemma ('the cook ...') wins the verb scan.
     """
     words = desc.strip().rstrip(".").split()
     if len(words) < 2:
         return None, None
-    # drop the subject token (reference: replaced by 'I')
-    rest = words[1:]
-    verb = lemmatize_word(rest[0])
-    idx = 1
+    # Locate the verb: first action lemma in the window (position 0
+    # included for imperatives); fall back to the token after the
+    # subject, mirroring the reference's 'I' substitution.
+    vi = None
+    for i in range(0, min(len(words), _VERB_SCAN_WINDOW)):
+        if lemmatize_word(words[i]) in _ACTION_VERBS:
+            vi = i
+            break
+    if vi is None:
+        vi = 1
+    verb = lemmatize_word(words[vi])
+    rest = words[vi + 1:]
+    idx = 0
     particle = None
     if idx < len(rest) and rest[idx] in _PARTICLES:
         particle = rest[idx]
@@ -187,11 +250,14 @@ def extract_verb_obj(desc: str) -> Tuple[Optional[str], Optional[str]]:
         if lw in stops:
             break
         obj_words.append(lw)
+    # "pick it up": a trailing particle after the object joins the verb.
+    if obj_words and particle is None and obj_words[-1] in _PARTICLES:
+        particle = obj_words.pop()
     obj = " ".join(obj_words)
     obj = re.sub(_DETERMINERS, "", obj).strip()
-    if not obj or obj in _STOP_OBJECT:
-        return (f"{verb} {particle}" if particle else verb) or None, None
     full_verb = f"{verb} {particle}" if particle else verb
+    if not obj or obj in _STOP_OBJECT:
+        return full_verb or None, None
     return full_verb, obj
 
 

@@ -1,0 +1,215 @@
+"""SVO / lemmatizer behavior corpus: ~100 Ego-Exo4D-style narrations.
+
+The reference extracts (verb, object) with a spaCy dependency parse
+(suject_verb_object_extraction.py:285-326 via nlp_tools.py:20-34); the
+rebuild uses a rule grammar (data/tools/nlp_tools.extract_verb_obj).
+This corpus pins the grammar's behavior over the narration shapes the
+stage-1 pipeline actually sees (1_get_candidate.py:66-67 runs
+``extract_verb_obj(lemmatize_description(desc))``): phrasal verbs,
+compound and prep-embedded objects, conjunctions, pronoun and
+multi-word subjects, progressives — plus an explicit section pinning
+the DOCUMENTED failure classes where the grammar diverges from the
+dependency parser (negation, passives, conjoined verbs, bare-pronoun
+objects, verb-ambiguous subject nouns, gerund-compound lemmas).
+"""
+import pytest
+
+from egoscaler_tpu.data.tools.nlp_tools import (
+    extract_verb_obj,
+    lemmatize_description,
+)
+
+
+def svo(raw: str):
+    return extract_verb_obj(lemmatize_description(raw))
+
+
+# (raw narration, expected verb [incl. particle], expected object)
+CORPUS = [
+    # --- simple SVO, cooking scenario ---
+    ("C picks up the knife.", "pick up", "knife"),
+    ("C puts down the spoon.", "put down", "spoon"),
+    ("C cuts the onion.", "cut", "onion"),
+    ("C slices the tomato.", "slice", "tomato"),
+    ("C stirs the soup.", "stir", "soup"),
+    ("C pours the water into the pot.", "pour", "water"),
+    ("C opens the fridge.", "open", "fridge"),
+    ("C closes the drawer.", "close", "drawer"),
+    ("C grabs a towel.", "grab", "towel"),
+    ("C wipes the counter with a cloth.", "wipe", "counter"),
+    ("C peels the potato.", "peel", "potato"),
+    ("C chops the carrots.", "chop", "carrot"),
+    ("C places the pan on the stove.", "place", "pan"),
+    ("C lifts the lid.", "lift", "lid"),
+    ("C shakes the bottle.", "shake", "bottle"),
+    ("C squeezes the lemon.", "squeeze", "lemon"),
+    ("C mixes the batter.", "mix", "batter"),
+    ("C whisks the eggs.", "whisk", "egg"),
+    ("C kneads the dough.", "knead", "dough"),
+    ("C rolls the dough with a rolling pin.", "roll", "dough"),
+    ("C flips the pancake.", "flip", "pancake"),
+    ("C sprinkles some salt.", "sprinkle", "salt"),
+    ("C measures the flour with a measuring cup.", "measure", "flour"),
+    ("C rinses the rice.", "rinse", "rice"),
+    ("C drains the pasta.", "drain", "pasta"),
+    ("C tastes the sauce.", "taste", "sauce"),
+    ("C adds the sugar to the bowl.", "add", "sugar"),
+    ("C removes the pot from the stove.", "remove", "pot"),
+    ("C holds the bowl with both hands.", "hold", "bowl"),
+    ("C transfers the rice into a plate.", "transfer", "rice"),
+    ("C scoops the ice cream.", "scoop", "ice cream"),
+    ("C cracks an egg.", "crack", "egg"),
+    ("C spreads the butter on the bread.", "spread", "butter"),
+    ("C dips the brush in the paint.", "dip", "brush"),
+    ("C grates the cheese.", "grate", "cheese"),
+    ("C washes the dishes.", "wash", "dish"),
+    ("C mashes the potatoes.", "mash", "potato"),
+    ("C serves the food.", "serve", "food"),
+    ("C crushes the garlic.", "crush", "garlic"),
+    ("C dices the pepper.", "dice", "pepper"),
+    # --- phrasal verbs / particles ---
+    ("C picks up a piece of wood.", "pick up", "piece of wood"),
+    ("C puts down the bottle of water.", "put down", "bottle of water"),
+    ("C takes off the gloves.", "take off", "glove"),
+    ("C sets aside the bowl.", "set aside", "bowl"),
+    ("C takes out the trash.", "take out", "trash"),
+    ("C puts back the jar.", "put back", "jar"),
+    ("C hangs up the towel.", "hang up", "towel"),
+    ("C lays out the ingredients.", "lay out", "ingredient"),
+    ("C opens up the package.", "open up", "package"),
+    ("C turns on the tap.", "turn on", "tap"),
+    ("C turns off the stove.", "turn off", "stove"),
+    ("C puts on the lid.", "put on", "lid"),
+    ("C picks it up.", "pick up", None),  # trailing particle rejoins the verb
+    ("C stands up.", "stand up", None),
+    # --- bike repair scenario ---
+    ("C unscrews the bolt.", "unscrew", "bolt"),
+    ("C tightens the screw with a screwdriver.", "tighten", "screw"),
+    ("C loosens the nut with a wrench.", "loosen", "nut"),
+    ("C spins the wheel.", "spin", "wheel"),
+    ("C removes the tire from the rim.", "remove", "tire"),
+    ("C inserts the tire lever.", "insert", "tire lever"),
+    ("C pumps the tire.", "pump", "tire"),
+    ("C attaches the chain.", "attach", "chain"),
+    ("C adjusts the brake.", "adjust", "brake"),
+    ("C flips the bike.", "flip", "bike"),
+    ("C patches the inner tube.", "patch", "inner tube"),
+    # --- music scenario ---
+    ("C strums the guitar.", "strum", "guitar"),
+    ("C plucks the string.", "pluck", "string"),
+    ("C tunes the guitar.", "tune", "guitar"),
+    ("C presses the keys on the piano.", "press", "key"),
+    ("C holds the violin bow.", "hold", "violin bow"),
+    ("C tightens the guitar strings.", "tighten", "guitar string"),
+    # --- health / covid-test scenario ---
+    ("C opens the test kit.", "open", "test kit"),
+    ("C swabs her nose.", "swab", "nose"),
+    ("C squeezes the tube.", "squeeze", "tube"),
+    ("C shakes the vial.", "shake", "vial"),
+    ("C peels off the sticker.", "peel off", "sticker"),
+    ("C sanitizes his hands.", "sanitize", "hand"),
+    # --- non-'C' subjects (pronouns, multi-word NPs) ---
+    ("She picks up the pan.", "pick up", "pan"),
+    ("He pours the oil into the wok.", "pour", "oil"),
+    ("The man lifts the box.", "lift", "box"),
+    ("The woman cuts the fabric.", "cut", "fabric"),
+    ("They move the table.", "move", "table"),
+    ("The chef slices the bread.", "slice", "bread"),
+    ("C and his partner lift the table.", "lift", "table"),
+    # --- compound objects / longer sentences ---
+    ("C picks up the guitar string.", "pick up", "guitar string"),
+    ("C moves the chess piece.", "move", "chess piece"),
+    ("C lifts the water bottle.", "lift", "water bottle"),
+    ("C holds the phone with her left hand.", "hold", "phone"),
+    ("C pours the batter into the pan on the stove.", "pour", "batter"),
+    ("C takes the towel from the rack.", "take", "towel"),
+    ("C puts the knife into the drawer.", "put", "knife"),
+    ("C places the cup onto the saucer.", "place", "cup"),
+    ("C carries the tray to the table.", "carry", "tray"),
+    ("C hands the plate to the customer.", "hand", "plate"),
+    ("C folds the piece of paper.", "fold", "piece of paper"),
+    ("C cuts the vegetables on the cutting board.", "cut", "vegetable"),
+    # --- determiners / quantifiers stripped ---
+    ("C picks up two onions.", "pick up", "onion"),
+    ("C opens another box.", "open", "box"),
+    ("C shakes his head.", "shake", "head"),
+    ("C grabs one apple.", "grab", "apple"),
+    # --- conjunction objects: first pair wins (matches svos[0]) ---
+    ("C picks up the knife and the fork.", "pick up", "knife"),
+    ("C grabs the bolt and the washer.", "grab", "bolt"),
+    # --- progressives resolve to the content verb ---
+    ("C is cutting the onion.", "cut", "onion"),
+    ("C is holding the camera.", "hold", "camera"),
+    # --- verb-only narrations ---
+    ("C stirs.", "stir", None),
+    ("C walks to the table.", "walk", None),
+    ("C kneels down.", "kneel down", None),
+    # --- adverbs between subject and verb ---
+    ("C quickly grabs the handle.", "grab", "handle"),
+    ("C gently places the glass.", "place", "glass"),
+]
+
+
+@pytest.mark.parametrize("raw,verb,obj", CORPUS, ids=[c[0] for c in CORPUS])
+def test_svo_corpus(raw, verb, obj):
+    assert svo(raw) == (verb, obj)
+
+
+def test_corpus_size_and_coverage():
+    """The corpus stays ≥100 narrations with the coverage classes the
+    round-2 verdict asked for."""
+    assert len(CORPUS) >= 100
+    raws = " ".join(c[0].lower() for c in CORPUS)
+    assert "picks up" in raws and "puts down" in raws  # phrasal verbs
+    assert "and the" in raws                           # conjoined objects
+    assert "she picks" in raws and "they move" in raws  # pronoun subjects
+    assert "piece of wood" in raws                     # prep-embedded NP
+
+
+# ---------------------------------------------------------------------------
+# Documented failure classes — divergences from the spaCy dependency
+# extractor, pinned so a silent behavior change fails loudly.  Each case
+# asserts the grammar's ACTUAL (degraded) output.
+
+
+def test_failure_class_negation_not_marked():
+    """Reference marks negated verbs '!pick'
+    (suject_verb_object_extraction.py:303-309); the grammar skips the
+    aux and returns the bare pair with no negation flag."""
+    assert svo("C does not pick up the knife.") == ("pick up", "knife")
+
+
+def test_failure_class_passive_loses_object():
+    """Reference swaps roles for passives (findSVOs is_pas branch); the
+    grammar finds the verb but the agent sits behind 'by' (a stop), so
+    the object is lost rather than swapped."""
+    assert svo("The knife is picked up by C.") == ("pick up", None)
+
+
+def test_failure_class_conjoined_verbs_keep_first():
+    """'turns and picks up' yields two SVOs in the reference; the
+    grammar stops at the first verb and the conjunction kills the
+    object."""
+    assert svo("C turns and picks up the knife.") == ("turn", None)
+
+
+def test_failure_class_bare_pronoun_object_is_none():
+    """Reference returns 'it' as an object; the grammar intentionally
+    maps bare pronouns to None (stage 1 needs a groundable name)."""
+    assert svo("C wipes it with a cloth.") == ("wipe", None)
+
+
+def test_failure_class_verb_ambiguous_subject_noun():
+    """A subject noun that is also an action lemma wins the verb scan:
+    'the cook stirs the soup' misparses.  Ego-Exo4D narrations use
+    'C' as the subject, so this class does not occur in the pipeline's
+    input distribution."""
+    assert svo("The cook stirs the soup.") == ("cook", "stir soup")
+
+
+def test_failure_class_gerund_compound_lemmas():
+    """The per-token lemmatizer reduces gerund modifiers inside noun
+    compounds ('cutting board' -> 'cut board'), where spaCy would keep
+    the surface form for an amod/compound token."""
+    assert svo("C picks up the cutting board.") == ("pick up", "cut board")
+    assert svo("C grabs the frying pan.") == ("grab", "fry pan")
