@@ -28,4 +28,11 @@ class DataConfig:
 
     mani_obj_det_threshold: float = 0.3
     depth_threshold: float = 5.0  # meters; points beyond are dropped
+    # Track depth-ratio aggregation: the reference means depth[y,x]/z
+    # over all tracked pixels (7_get_object_trajectory.py:224), so one
+    # jittered track that slips onto the background (depth 2 m vs object
+    # 1.2 m) skews the scale of the whole waypoint.  True = masked
+    # median instead (beyond-parity robustness; measured in
+    # ROBUSTNESS.json: 0.5 px jitter ADE 0.111 -> ~0.01).
+    ratio_robust: bool = False
     pcm: PCMConfig = dataclasses.field(default_factory=PCMConfig)

@@ -99,9 +99,18 @@ def extract_trajectory(
     frame_idx = jnp.arange(t_max)[:, None]
     d_at = depth_maps[frame_idx, ys, xs]  # (T, Q)
     wq = valid_q.astype(jnp.float32)[None, :]
-    ratio_depth = jnp.sum(d_at / jnp.maximum(zs, 1e-6) * wq, axis=1) / (
-        jnp.sum(wq, axis=1).clip(1.0)
-    )  # (T,)
+    ratios = d_at / jnp.maximum(zs, 1e-6)  # (T, Q)
+    if cfg.ratio_robust:
+        # Masked lower median: immune to tracks that jitter onto the
+        # background (cfg.ratio_robust doc; the reference means all).
+        big = jnp.where(valid_q[None, :], ratios, jnp.inf)
+        srt = jnp.sort(big, axis=1)
+        cnt = jnp.sum(valid_q).astype(jnp.int32)
+        ratio_depth = srt[:, jnp.maximum(cnt - 1, 0) // 2]  # (T,)
+    else:
+        ratio_depth = jnp.sum(ratios * wq, axis=1) / (
+            jnp.sum(wq, axis=1).clip(1.0)
+        )  # (T,)
     uv = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)
     object_coords = backproject_points(
         uv, zs, focal_len, focal_len, principal_point

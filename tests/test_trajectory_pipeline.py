@@ -136,6 +136,101 @@ def test_moving_camera_moving_object(rng):
     assert np.abs(np.diff(traj[:, 0])).max() < 0.015
 
 
+# ---------------------------------------------------------------------------
+# Robustness under realistic input corruption (ROBUSTNESS.json holds the
+# full degradation curve; these gates pin the supported envelope).
+# Real inputs are dirty: DepthAnything depth is noisy/quantized with
+# invalid regions (7_get_object_trajectory.py:112-124) and tracker
+# pixels jitter and drop out (7_get:205-230).
+
+
+def _run_perturbed(rng, frames, masks, tracks, t, robust=False):
+    import dataclasses
+    cfg = dataclasses.replace(small_cfg(), ratio_robust=robust)
+    res = extract_trajectory(
+        jnp.asarray(frames), jnp.asarray(masks), jnp.asarray(tracks),
+        jnp.asarray(t), F, PP, cfg=cfg,
+        max_keypoints=1024, num_hypotheses=512, key=jax.random.PRNGKey(0),
+    )
+    return res
+
+
+def _ade_rot(res, t, obj_step):
+    traj = np.asarray(res.traj_quat)
+    gt = traj[0, :3] + np.asarray(obj_step)[None] * np.arange(t)[:, None]
+    ade = float(np.linalg.norm(traj[:, :3] - gt, axis=1).mean())
+    rot = float(np.abs(traj[:, 3:6]).max())
+    return ade, rot
+
+
+def test_robustness_depth_noise_quant_holes(rng):
+    """2% depth noise + 1 cm quantization + 5% holes (the DepthAnything
+    regime) must stay within ~5x of the clean ADE and keep rotations
+    near identity."""
+    from egoscaler_tpu.pipelines.perturb import perturb_depth
+
+    t = 4
+    obj_step = (0.0, 0.025, 0.0)
+    frames, masks, tracks = make_clip(rng, t, (0.03, 0, 0), obj_step)
+    keep = np.round(tracks[..., :2]).astype(int)
+    prng = np.random.default_rng(1)
+    dirty = perturb_depth(
+        frames, prng, noise_frac=0.02, quant_step=0.01, hole_frac=0.05,
+        keep_px=keep,
+    )
+    res = _run_perturbed(rng, dirty, masks, tracks, t)
+    assert bool(res.ok)
+    ade, rot = _ade_rot(res, t, obj_step)
+    assert ade < 0.05, f"ADE degraded beyond gate: {ade}"
+    assert rot < 0.08, f"rotation degraded beyond gate: {rot}"
+
+
+def test_robustness_depth_holes_heavy(rng):
+    """15% invalid depth pixels: registration must shrug (holes only
+    thin the cloud; get_points_colors drops them)."""
+    from egoscaler_tpu.pipelines.perturb import perturb_depth
+
+    t = 4
+    obj_step = (0.0, 0.025, 0.0)
+    frames, masks, tracks = make_clip(rng, t, (0.03, 0, 0), obj_step)
+    keep = np.round(tracks[..., :2]).astype(int)
+    dirty = perturb_depth(
+        frames, np.random.default_rng(2), hole_frac=0.15, keep_px=keep
+    )
+    res = _run_perturbed(rng, dirty, masks, tracks, t)
+    assert bool(res.ok)
+    ade, rot = _ade_rot(res, t, obj_step)
+    assert ade < 0.015, f"ADE under holes: {ade}"
+    assert rot < 0.05
+
+
+def test_robustness_track_jitter_and_dropout(rng):
+    """0.5 px track jitter + 1% z noise + 25% dropout.  Mean depth-ratio
+    (reference semantics) is scale-skewed by tracks slipping onto the
+    background — bounded but visible; the robust median ratio
+    (DataConfig.ratio_robust, beyond parity) must stay near clean."""
+    from egoscaler_tpu.pipelines.perturb import perturb_tracks
+
+    t = 4
+    obj_step = (0.0, 0.025, 0.0)
+    frames, masks, tracks = make_clip(rng, t, (0.03, 0, 0), obj_step)
+    dirty = perturb_tracks(
+        np.asarray(tracks), np.random.default_rng(3), jitter_px=0.5,
+        jitter_z_frac=0.01, dropout_frac=0.25, frame_size=(W, H),
+    )
+    res_mean = _run_perturbed(rng, frames, masks, dirty, t)
+    assert bool(res_mean.ok)
+    ade_mean, _ = _ade_rot(res_mean, t, obj_step)
+    assert ade_mean < 0.2, f"mean-ratio ADE beyond documented bound: {ade_mean}"
+
+    res_med = _run_perturbed(rng, frames, masks, dirty, t, robust=True)
+    assert bool(res_med.ok)
+    ade_med, rot_med = _ade_rot(res_med, t, obj_step)
+    assert ade_med < 0.05, f"median-ratio ADE: {ade_med}"
+    assert ade_med <= ade_mean + 1e-6
+    assert rot_med < 0.08
+
+
 def test_validate_tracks_rejects_out_of_frame():
     t, q = 5, 10
     tracks = np.full((t, q, 3), 50.0, np.float32)
