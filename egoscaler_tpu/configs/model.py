@@ -53,6 +53,13 @@ class LlamaConfig:
     # parameter-bandwidth bound, so this ~halves ms/step.  Params must
     # come from models/quantize.quantize_decode_params.  None = bf16.
     weight_quant: Optional[str] = None
+    # "int8": store the KV cache as int8 with per-(token, head) scales
+    # and decode through the Pallas flash-decode kernel
+    # (ops/kv8_attention.py) — at long contexts the cache stream rivals
+    # the param stream, so this ~halves the attention-side HBM traffic.
+    # Composes with weight_quant.  None = cache in the dtype passed to
+    # init_kv_cache (bf16 default).
+    kv_quant: Optional[str] = None
 
     @property
     def head_dim(self) -> int:

@@ -90,16 +90,71 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     layer_idx: int = 0
 
+    def _write_cache(self, cache, k, v, cache_index, b, s):
+        """Write this step's k/v into the stacked cache (bf16 or KV8)."""
+        quant = "k_scale" in cache
+        if quant:
+            from egoscaler_tpu.ops.kv8_attention import quantize_kv
+
+            k_w, ks_w = quantize_kv(k)  # (B, s, KVH, D) int8, (B, s, KVH)
+            v_w, vs_w = quantize_kv(v)
+        else:
+            k_w, v_w = k.astype(cache["k"].dtype), v.astype(cache["v"].dtype)
+        li = self.layer_idx
+        out = dict(cache)
+        if cache_index.ndim == 0:
+            # one small dynamic_update_slice per layer at
+            # (layer, 0, cache_index, ...) — no whole-cache copies
+            # (in-place under the scan carry)
+            out["k"] = jax.lax.dynamic_update_slice(
+                cache["k"], k_w[None], (li, 0, cache_index, 0, 0)
+            )
+            out["v"] = jax.lax.dynamic_update_slice(
+                cache["v"], v_w[None], (li, 0, cache_index, 0, 0)
+            )
+            if quant:
+                out["k_scale"] = jax.lax.dynamic_update_slice(
+                    cache["k_scale"], ks_w[None], (li, 0, cache_index, 0)
+                )
+                out["v_scale"] = jax.lax.dynamic_update_slice(
+                    cache["v_scale"], vs_w[None], (li, 0, cache_index, 0)
+                )
+        else:
+            # continuous batching (serving/engine.py) and speculative
+            # verify chunks (serving/speculative.py): cache_index is
+            # (B,) — every row reads/writes at its OWN position.  The
+            # s tokens of row b land at slots cache_index[b] + [0, s);
+            # one scatter per layer, still no whole-cache copies.
+            bidx = jnp.arange(b)[:, None]
+            rows = cache_index[:, None] + jnp.arange(s)[None, :]
+            out["k"] = cache["k"].at[li, bidx, rows].set(k_w)
+            out["v"] = cache["v"].at[li, bidx, rows].set(v_w)
+            if quant:
+                out["k_scale"] = cache["k_scale"].at[li, bidx, rows].set(ks_w)
+                out["v_scale"] = cache["v_scale"].at[li, bidx, rows].set(vs_w)
+        return out
+
+    def _cache_kv_full(self, cache, expand_kv, dtype):
+        """This layer's cache slice as bf16 (dequantized if KV8)."""
+        li = self.layer_idx
+        if "k_scale" in cache:
+            from egoscaler_tpu.ops.kv8_attention import dequantize_kv
+
+            k_full = dequantize_kv(cache["k"][li], cache["k_scale"][li], dtype)
+            v_full = dequantize_kv(cache["v"][li], cache["v_scale"][li], dtype)
+        else:
+            k_full, v_full = cache["k"][li], cache["v"][li]
+        return expand_kv(k_full), expand_kv(v_full)
+
     @nn.compact
     def __call__(
         self,
         x: jax.Array,
         positions: jax.Array,
         kv_mask: Optional[jax.Array],
-        cache_k: Optional[jax.Array],
-        cache_v: Optional[jax.Array],
+        cache: Optional[Dict[str, jax.Array]],
         cache_index: Optional[jax.Array],
-    ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    ) -> Tuple[jax.Array, Optional[Dict[str, jax.Array]]]:
         cfg = self.cfg
         b, s, _ = x.shape
         h, hd = cfg.num_attention_heads, cfg.head_dim
@@ -120,49 +175,10 @@ class LlamaAttention(nn.Module):
                 return t
             return jnp.repeat(t, h // kvh, axis=2)
 
-        if cache_k is not None:
-            if cache_index.ndim == 0:
-                # write this step's k/v slice into the FULL stacked cache
-                # at (layer, 0, cache_index, 0, 0): one small write per
-                # layer, no whole-cache copies (in-place under the scan
-                # carry)
-                cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, k.astype(cache_k.dtype)[None],
-                    (self.layer_idx, 0, cache_index, 0, 0),
-                )
-                cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, v.astype(cache_v.dtype)[None],
-                    (self.layer_idx, 0, cache_index, 0, 0),
-                )
-            else:
-                # continuous batching (serving/engine.py) and speculative
-                # verify chunks (serving/speculative.py): cache_index is
-                # (B,) — every row reads/writes at its OWN position.  The
-                # s tokens of row b land at slots cache_index[b] + [0, s);
-                # one scatter per layer, still no whole-cache copies.
-                bidx = jnp.arange(b)[:, None]
-                rows = cache_index[:, None] + jnp.arange(s)[None, :]
-                cache_k = cache_k.at[self.layer_idx, bidx, rows].set(
-                    k.astype(cache_k.dtype)
-                )
-                cache_v = cache_v.at[self.layer_idx, bidx, rows].set(
-                    v.astype(cache_v.dtype)
-                )
-                k_full = expand_kv(cache_k[self.layer_idx])
-                v_full = expand_kv(cache_v[self.layer_idx])
-                t = k_full.shape[1]
-                # (B, s) per-row query positions -> (B, 1, s, T) causal
-                causal = (
-                    jnp.arange(t)[None, None, :] <= rows[:, :, None]
-                )[:, None]
-                mask = causal
-                if kv_mask is not None:
-                    mask = mask & kv_mask[:, None, None, :t]
-                out = xla_attention(q, k_full, v_full, mask=mask)
-                out = out.reshape(b, s, h * hd)
-                out = make_dense(cfg, cfg.hidden_size, "o_proj")(out)
-                return out, cache_k, cache_v
-            if s > 1:
+        if cache is not None:
+            quant = "k_scale" in cache
+            cache = self._write_cache(cache, k, v, cache_index, b, s)
+            if cache_index.ndim == 0 and s > 1:
                 # prefill: causal attention over the prompt itself equals
                 # attention over the cache (future slots are causally
                 # masked) — run the Pallas flash kernel, no S^2 buffer
@@ -174,10 +190,33 @@ class LlamaAttention(nn.Module):
                 out = causal_attention_with_kv_mask(
                     q, expand_kv(k), expand_kv(v), pm
                 )
+            elif s == 1 and quant:
+                # single-token decode over the int8 cache: the Pallas
+                # flash-decode kernel dequantizes blocks in VMEM — the
+                # cache streams at half the bf16 bytes
+                # (ops/kv8_attention.py)
+                from egoscaler_tpu.ops.kv8_attention import (
+                    decode_attention_kv8,
+                )
+
+                li = self.layer_idx
+                t = cache["k"].shape[2]
+                pos = (
+                    jnp.broadcast_to(cache_index, (b,))
+                    if cache_index.ndim == 0 else cache_index
+                )
+                keymask = jnp.arange(t)[None, :] <= pos[:, None]  # (B, T)
+                if kv_mask is not None:
+                    keymask = keymask & kv_mask[:, :t]
+                out = decode_attention_kv8(
+                    q[:, 0], cache["k"][li], cache["k_scale"][li],
+                    cache["v"][li], cache["v_scale"][li], keymask,
+                )[:, None]  # (B, H, D) -> (B, 1, H, D)
             else:
-                # single-token decode: gather this layer's cache slice
-                k_full = expand_kv(cache_k[self.layer_idx])
-                v_full = expand_kv(cache_v[self.layer_idx])
+                # decode/verify over the full cache slice via XLA
+                # (bf16 cache; or the KV8 multi-token fallback, which
+                # dequantizes through HBM — spec verify only)
+                k_full, v_full = self._cache_kv_full(cache, expand_kv, q.dtype)
                 t = k_full.shape[1]
                 if cache_index.ndim == 0:
                     q_pos = cache_index + jnp.arange(s)
@@ -185,10 +224,11 @@ class LlamaAttention(nn.Module):
                         jnp.arange(t)[None, :] <= q_pos[:, None]
                     )[None, None]
                 else:
-                    # (B,) per-slot positions -> (B, 1, 1, T) causal mask
+                    rows = cache_index[:, None] + jnp.arange(s)[None, :]
+                    # (B, s) per-row query positions -> (B, 1, s, T)
                     causal = (
-                        jnp.arange(t)[None, :] <= cache_index[:, None]
-                    )[:, None, None, :]
+                        jnp.arange(t)[None, None, :] <= rows[:, :, None]
+                    )[:, None]
                 mask = causal
                 if kv_mask is not None:
                     mask = mask & kv_mask[:, None, None, :t]
@@ -209,7 +249,7 @@ class LlamaAttention(nn.Module):
             )
         out = out.reshape(b, s, h * hd)
         out = make_dense(cfg, cfg.hidden_size, "o_proj")(out)
-        return out, cache_k, cache_v
+        return out, cache
 
 
 class LlamaMLP(nn.Module):
@@ -230,16 +270,16 @@ class LlamaDecoderLayer(nn.Module):
     layer_idx: int = 0
 
     @nn.compact
-    def __call__(self, x, positions, kv_mask, cache_k, cache_v, cache_index):
-        h, ck, cv = LlamaAttention(self.cfg, self.layer_idx, name="self_attn")(
+    def __call__(self, x, positions, kv_mask, cache, cache_index):
+        h, cache = LlamaAttention(self.cfg, self.layer_idx, name="self_attn")(
             RMSNorm(self.cfg.rms_norm_eps, name="input_layernorm")(x),
-            positions, kv_mask, cache_k, cache_v, cache_index,
+            positions, kv_mask, cache, cache_index,
         )
         x = x + h
         h = LlamaMLP(self.cfg, name="mlp")(
             RMSNorm(self.cfg.rms_norm_eps, name="post_attention_layernorm")(x)
         )
-        return x + h, ck, cv
+        return x + h, cache
 
 
 class LlamaModel(nn.Module):
@@ -267,19 +307,16 @@ class LlamaModel(nn.Module):
             layer_cls = nn.remat(
                 LlamaDecoderLayer, static_argnums=(), prevent_cse=False
             )
-        # the FULL stacked cache threads through every layer; each layer
-        # writes only its own (1, B, s, H, D) slice — no whole-cache
-        # copies per decode step (stacking fresh per-layer arrays cost
-        # ~1.4 GB/step at flagship size)
-        ck = cache["k"] if cache is not None else None
-        cv = cache["v"] if cache is not None else None
+        # the FULL stacked cache dict threads through every layer; each
+        # layer writes only its own (1, B, s, H, D) slice — no
+        # whole-cache copies per decode step (stacking fresh per-layer
+        # arrays cost ~1.4 GB/step at flagship size)
         for i in range(self.cfg.num_hidden_layers):
-            x, ck, cv = layer_cls(self.cfg, i, name=f"layers_{i}")(
-                x, positions, kv_mask, ck, cv, cache_index
+            x, cache = layer_cls(self.cfg, i, name=f"layers_{i}")(
+                x, positions, kv_mask, cache, cache_index
             )
         x = RMSNorm(self.cfg.rms_norm_eps, name="norm")(x)
-        new_cache = {"k": ck, "v": cv} if cache is not None else None
-        return x, new_cache
+        return x, cache
 
 
 def init_kv_cache(
@@ -289,4 +326,14 @@ def init_kv_cache(
         cfg.num_hidden_layers, batch, max_len,
         cfg.num_key_value_heads, cfg.head_dim,  # GQA: kvh-head cache
     )
+    if cfg.kv_quant == "int8":
+        # KV8: int8 cache + per-(token, head) f32 scales
+        # (ops/kv8_attention.py); `dtype` governs only the bf16 path
+        return {
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    assert cfg.kv_quant is None, cfg.kv_quant
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}

@@ -1,0 +1,203 @@
+"""int8 KV-cache decode attention (KV8) — Pallas flash-decode kernel.
+
+Single-token decode is HBM-bandwidth bound: every step streams the whole
+KV cache (flagship 1.1B bs8 at T=678: ~1.4 GB of bf16 K+V per step,
+rivaling the int8 param stream — ROUND3.md KV8 note).  Storing the cache
+as int8 with per-token-per-head scales halves that traffic.  As with the
+w8a16 weight kernel (ops/quant_matmul.py), XLA cannot fuse the
+int8->bf16 convert into a dot operand — `k8.astype(bf16) * scale`
+materializes a bf16 copy of the cache in HBM first, reading MORE bytes
+than the bf16 cache it was meant to beat.  This kernel streams int8 KV
+blocks from HBM, dequantizes in VMEM, and runs the streaming-softmax
+(flash) accumulation per query.
+
+Quantization: symmetric per-(token, head) absmax/127 over the head dim —
+K carries rotary phases and V raw values, both centered; per-vector
+scales keep the quantization error ~0.4% of the vector range.  The
+quality gate is greedy token agreement vs the bf16 cache
+(tests/test_kv8.py + scripts/bench_quant_decode.py --kv8 on a trained
+checkpoint).
+
+Reference role analogue: the serving flash-attention patch
+(llama_flash_attn_monkey_patch.py:20-107) — the reference's only
+attention-path serving optimization; it has no quantized cache.
+
+Layout: the cache keeps the bf16 layout (L, B, T, H, D) (block DMAs are
+(Tb, H*D) int8 = Tb x 2 KB contiguous rows at flagship size) plus scale
+arrays (L, B, T, H) f32.  GQA (kvh < h) folds query heads into groups of
+g = h // kvh per KV head.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def quantize_kv(t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(..., D) float -> ((..., D) int8, (...,) f32 per-vector scale)."""
+    t = t.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(t), axis=-1)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(t / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(q: jax.Array, scale: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None].astype(jnp.float32)).astype(
+        dtype
+    )
+
+
+def _kv8_kernel(
+    q_ref,      # (1, KVH, G, D) f32 — pre-scaled by D**-0.5
+    k_ref,      # (1, Tb, KVH, D) int8
+    ks_ref,     # (1, Tb, KVH) f32
+    v_ref,      # (1, Tb, KVH, D) int8
+    vs_ref,     # (1, Tb, KVH) f32
+    msk_ref,    # (1, Tb) bool (causal & kv_mask, True = attend)
+    o_ref,      # (1, KVH, G, D)
+    acc_ref,    # VMEM (KVH, G, D) f32
+    m_ref,      # VMEM (KVH, G) f32
+    l_ref,      # VMEM (KVH, G) f32
+    *,
+    nt: int,
+    kvh: int,
+):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    msk = msk_ref[0]  # (Tb,)
+    ksc = ks_ref[0]   # (Tb, KVH)
+    vsc = vs_ref[0]
+    # static loop over KV heads: 2-D dots keep Mosaic on the MXU path
+    for h in range(kvh):
+        kh = k_ref[0, :, h, :].astype(jnp.bfloat16)   # (Tb, D)
+        qh = q_ref[0, h].astype(jnp.bfloat16)         # (G, D)
+        s = jax.lax.dot_general(
+            kh, qh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tb, G)
+        s = s * ksc[:, h][:, None]
+        s = jnp.where(msk[:, None], s, _NEG_INF)
+        m_prev = m_ref[h]                              # (G,)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
+        alpha = jnp.exp(m_prev - m_new)                # (G,)
+        # masked rows multiply to exactly 0 (an all-masked block would
+        # otherwise make exp(s - m) == 1 with m still at -inf)
+        p = jnp.exp(s - m_new[None, :]) * msk[:, None].astype(jnp.float32)
+        l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=0)
+        pv = (p * vsc[:, h][:, None]).astype(jnp.bfloat16)  # (Tb, G)
+        vh = v_ref[0, :, h, :].astype(jnp.bfloat16)         # (Tb, D)
+        acc_ref[h] = acc_ref[h] * alpha[:, None] + jax.lax.dot_general(
+            pv, vh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G, D)
+        m_ref[h] = m_new
+
+    @pl.when(ti == nt - 1)
+    def _finish():
+        o_ref[0] = (
+            acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)[..., None]
+        ).astype(o_ref.dtype)
+
+
+def _pad_to(a: jax.Array, axis: int, mult: int) -> jax.Array:
+    pad = (-a.shape[axis]) % mult
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t",))
+def decode_attention_kv8(
+    q: jax.Array,        # (B, H, D) single-token queries
+    k8: jax.Array,       # (B, T, KVH, D) int8 (one layer's cache slice)
+    k_scale: jax.Array,  # (B, T, KVH) f32
+    v8: jax.Array,       # (B, T, KVH, D) int8
+    v_scale: jax.Array,  # (B, T, KVH) f32
+    mask: jax.Array,     # (B, T) bool — causal & kv_mask, True = attend
+    *,
+    block_t: int = 256,
+) -> jax.Array:
+    """Flash-decode over an int8 KV cache.  Returns (B, H, D) in q.dtype
+    with f32 softmax statistics (same numerics contract as
+    ops/attention.xla_attention at s=1)."""
+    b, h, d = q.shape
+    _, t, kvh, _ = k8.shape
+    assert h % kvh == 0, (h, kvh)
+    g = h // kvh
+
+    qs = (q.astype(jnp.float32) * (d ** -0.5)).reshape(b, kvh, g, d)
+    block_t = min(block_t, max(128, t))
+    k8p = _pad_to(k8, 1, block_t)
+    v8p = _pad_to(v8, 1, block_t)
+    ksp = _pad_to(k_scale.astype(jnp.float32), 1, block_t)
+    vsp = _pad_to(v_scale.astype(jnp.float32), 1, block_t)
+    mp = _pad_to(mask, 1, block_t)  # pads False
+    tp = k8p.shape[1]
+    nt = tp // block_t
+
+    out = pl.pallas_call(
+        functools.partial(_kv8_kernel, nt=nt, kvh=kvh),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, kvh, g, d), lambda bi, ti: (bi, 0, 0, 0)),
+            pl.BlockSpec((1, block_t, kvh, d), lambda bi, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, block_t, kvh), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, block_t, kvh, d), lambda bi, ti: (bi, ti, 0, 0)),
+            pl.BlockSpec((1, block_t, kvh), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, block_t), lambda bi, ti: (bi, ti)),
+        ],
+        out_specs=pl.BlockSpec((1, kvh, g, d), lambda bi, ti: (bi, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((kvh, g, d), jnp.float32),
+            pltpu.VMEM((kvh, g), jnp.float32),
+            pltpu.VMEM((kvh, g), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qs, k8p, ksp, v8p, vsp, mp)
+    return out.reshape(b, h, d)
+
+
+def decode_attention_kv8_xla(
+    q: jax.Array,
+    k8: jax.Array,
+    k_scale: jax.Array,
+    v8: jax.Array,
+    v_scale: jax.Array,
+    mask: jax.Array,
+) -> jax.Array:
+    """XLA oracle: dequantize through HBM then xla_attention (correctness
+    reference and the multi-token fallback path — not a bandwidth win)."""
+    from egoscaler_tpu.ops.attention import xla_attention
+
+    k = dequantize_kv(k8, k_scale, q.dtype)
+    v = dequantize_kv(v8, v_scale, q.dtype)
+    g = q.shape[1] // k.shape[2]
+    if g > 1:  # GQA: repeat kv heads for the reference contraction
+        k = jnp.repeat(k, g, axis=2)
+        v = jnp.repeat(v, g, axis=2)
+    out = xla_attention(q[:, None], k, v, mask=mask[:, None, None, :])
+    return out[:, 0]

@@ -223,8 +223,8 @@ def llama_pipeline_forward(
         )
 
     def layer_fn(lp, x, pos, mask):
-        y, _, _ = layer_mod.apply(
-            {"params": lp}, x, pos, mask, None, None, None
+        y, _ = layer_mod.apply(
+            {"params": lp}, x, pos, mask, None, None
         )
         return y
 

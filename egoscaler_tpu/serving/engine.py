@@ -129,6 +129,7 @@ class ServingEngine:
         draft_model: Optional[TrajPointLLM] = None,
         draft_params: Any = None,
         spec_k: int = 4,
+        param_shardings: Any = None,
     ):
         self.model = model
         self.params = params
@@ -165,6 +166,28 @@ class ServingEngine:
         self._indices = jnp.zeros((b,), jnp.int32)
         self._done = jnp.ones((b,), bool)
 
+        # Mesh serving: place params under the given NamedShardings
+        # (e.g. Megatron TP rules from parallel.sharding.param_shardings)
+        # and replicate the engine state over the same device set so one
+        # compiled decode program runs TP-sharded.  Cache shards follow
+        # from XLA propagation (KV heads split over `model`).
+        if param_shardings is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            if auto_param_layouts:
+                raise ValueError(
+                    "param_shardings and auto_param_layouts are mutually "
+                    "exclusive (AUTO layouts are a single-chip path)"
+                )
+            self.params = jax.device_put(self.params, param_shardings)
+            mesh = jax.tree_util.tree_leaves(param_shardings)[0].mesh
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._cache = jax.device_put(self._cache, rep)
+            self._kv_mask = jax.device_put(self._kv_mask, rep)
+            self._tokens = jax.device_put(self._tokens, rep)
+            self._indices = jax.device_put(self._indices, rep)
+            self._done = jax.device_put(self._done, rep)
+
         self._queue: deque[_Request] = deque()
         self._slots: List[Optional[_SlotState]] = [None] * b
         self._results: Dict[int, np.ndarray] = {}
@@ -193,10 +216,10 @@ class ServingEngine:
                     params, ids, pc, full_mask, small,
                     method=TrajPointLLM.prefill,
                 )
-                cache = {
-                    "k": cache["k"].at[:, slots_].set(small["k"]),
-                    "v": cache["v"].at[:, slots_].set(small["v"]),
-                }
+                cache = jax.tree_util.tree_map(
+                    lambda full, sm: full.at[:, slots_].set(sm),
+                    cache, small,
+                )  # generic over bf16 {k,v} and KV8 {k,v,*_scale}
                 kv_mask = kv_mask.at[slots_].set(full_mask)
                 tok = sample_token(logits, key, *gen_args)  # (k,)
                 tokens = tokens.at[slots_].set(tok)
@@ -277,14 +300,14 @@ class ServingEngine:
                         dparams, ids, pc, full_mask, dsmall,
                         method=TrajPointLLM.prefill,
                     )
-                    cache = {
-                        "k": cache["k"].at[:, slots_].set(small["k"]),
-                        "v": cache["v"].at[:, slots_].set(small["v"]),
-                    }
-                    dcache = {
-                        "k": dcache["k"].at[:, slots_].set(dsmall["k"]),
-                        "v": dcache["v"].at[:, slots_].set(dsmall["v"]),
-                    }
+                    cache = jax.tree_util.tree_map(
+                        lambda full, sm: full.at[:, slots_].set(sm),
+                        cache, small,
+                    )
+                    dcache = jax.tree_util.tree_map(
+                        lambda full, sm: full.at[:, slots_].set(sm),
+                        dcache, dsmall,
+                    )
                     kv_mask = kv_mask.at[slots_].set(full_mask)
                     tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     tokens = tokens.at[slots_].set(tok)

@@ -55,6 +55,12 @@ def main():
     ap.add_argument("--ckpt", default="",
                     help="trained flagship best_params.npz for quality")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--kv8", action="store_true",
+                    help="also measure the int8 KV cache (Pallas "
+                         "flash-decode, ops/kv8_attention.py): bf16 "
+                         "weights + int8 cache isolates the cache win; "
+                         "int8 weights + int8 cache is the full "
+                         "composition")
     ap.add_argument("--out", default=os.path.join(ROOT, "QUANT_BENCH.json"))
     args = ap.parse_args()
 
@@ -161,6 +167,27 @@ def main():
         "ms_per_step": round(t_bf16 * 1e3 / new_tokens, 3),
     }
 
+    # ---- KV8 with bf16 weights (isolates the cache-stream win;
+    # needs the bf16 tree, so it runs before that tree is freed)
+    if args.kv8 and not use_auto:
+        kv8cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, kv_quant="int8")
+        )
+        kv8model = TrajPointLLM(kv8cfg, remat=False)
+        t_kv8 = timed(f"bf16+KV8 generate bs{bs} x{new_tokens}",
+                      lambda: gen_fn(kv8model)(params), iters=args.iters)
+        results["bf16_kv8"] = {
+            "ms": round(t_kv8 * 1e3, 1),
+            "tok_s": round(bs * new_tokens / t_kv8, 1),
+            "ms_per_step": round(t_kv8 * 1e3 / new_tokens, 3),
+            "speedup_vs_bf16": round(t_bf16 / t_kv8, 3),
+        }
+        if trained:
+            toks_kv8 = np.asarray(jax.device_get(tok_fn(kv8model)(params)))
+            results["bf16_kv8"]["greedy_token_agreement"] = round(
+                float((toks_bf16 == toks_kv8).mean()), 4
+            )
+
     # ---- int8
     print("quantizing / materializing int8 params ...", flush=True)
     if trained:
@@ -182,6 +209,31 @@ def main():
         "ms_per_step": round(t_int8 * 1e3 / new_tokens, 3),
     }
     results["speedup"] = round(t_bf16 / t_int8, 3)
+
+    # ---- int8 weights + int8 KV cache (the full serving composition)
+    if args.kv8:
+        qkv8cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(
+                cfg.llama, weight_quant="int8", kv_quant="int8"
+            )
+        )
+        qkv8model = TrajPointLLM(qkv8cfg, remat=False)
+        t_qkv8 = timed(f"int8+KV8 generate bs{bs} x{new_tokens}",
+                       lambda: gen_fn(qkv8model)(qparams), iters=args.iters)
+        results["int8_kv8"] = {
+            "ms": round(t_qkv8 * 1e3, 1),
+            "tok_s": round(bs * new_tokens / t_qkv8, 1),
+            "ms_per_step": round(t_qkv8 * 1e3 / new_tokens, 3),
+            "speedup_vs_bf16": round(t_bf16 / t_qkv8, 3),
+            "speedup_vs_int8": round(t_int8 / t_qkv8, 3),
+        }
+        if trained:
+            toks_qkv8 = np.asarray(
+                jax.device_get(tok_fn(qkv8model)(qparams))
+            )
+            results["int8_kv8"]["greedy_token_agreement"] = round(
+                float((toks_bf16 == toks_qkv8).mean()), 4
+            )
 
     if trained:
         toks_int8 = np.asarray(jax.device_get(tok_fn(qmodel)(qparams)))
