@@ -50,7 +50,7 @@ class QuantDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        from egoscaler_tpu.ops.quant_matmul import quant_matmul
+        from egoscaler_tpu.ops.quant_matmul import quant_matmul_diff
 
         k = x.shape[-1]
         q = self.param(
@@ -61,15 +61,23 @@ class QuantDense(nn.Module):
         s = self.param(
             "scale", nn.initializers.ones, (self.features,), jnp.float32
         )
-        y = quant_matmul(x.reshape(-1, k), q, s)
+        # quant_matmul with an activation VJP: inference is the plain
+        # kernel; under jax.grad the loss differentiates THROUGH the
+        # int8 layer (frozen-trunk training, weights get no gradient)
+        y = quant_matmul_diff(x.reshape(-1, k), q, s)
         return y.reshape(*x.shape[:-1], self.features)
 
 
 def make_dense(cfg: LlamaConfig, features: int, name: str) -> nn.Module:
-    """Dense or QuantDense per cfg.weight_quant (decode serving path)."""
-    if cfg.weight_quant == "int8":
+    """Dense or QuantDense per cfg.weight_quant (decode serving path).
+    weight_quant="int8_trunk" quantizes only the layer projections and
+    keeps lm_head a trainable bf16 Dense (the frozen-trunk training
+    recipe — models/quantize.quantize_decode_params(trunk_only=True))."""
+    if cfg.weight_quant == "int8" or (
+        cfg.weight_quant == "int8_trunk" and name != "lm_head"
+    ):
         return QuantDense(features, name=name)
-    assert cfg.weight_quant is None, cfg.weight_quant
+    assert cfg.weight_quant in (None, "int8_trunk"), cfg.weight_quant
     return nn.Dense(features, use_bias=False, name=name)
 
 

@@ -28,19 +28,27 @@ _QUANT_LEAVES = (
 )
 
 
-def quantize_decode_params(variables: Dict[str, Any]) -> Dict[str, Any]:
+def quantize_decode_params(
+    variables: Dict[str, Any], trunk_only: bool = False
+) -> Dict[str, Any]:
     """Rewrite {**, <proj>/kernel} -> {**, <proj>/{kernel_q, scale}};
     remaining f32 float leaves are cast to bf16 (the serving dtype —
-    scales stay f32 via the quantizer)."""
+    scales stay f32 via the quantizer).  ``trunk_only`` skips lm_head —
+    the frozen-trunk training recipe (run_7b_chip.py --quant_trunk)
+    keeps lm_head a trainable bf16 Dense."""
     flat = traverse_util.flatten_dict(variables)
     out = {}
     n_quant = 0
+    quant_leaves = (
+        tuple(n for n in _QUANT_LEAVES if n != "lm_head")
+        if trunk_only else _QUANT_LEAVES
+    )
     for path, leaf in flat.items():
         leaf = jnp.asarray(leaf)
         if (
             len(path) >= 2
             and path[-1] == "kernel"
-            and path[-2] in _QUANT_LEAVES
+            and path[-2] in quant_leaves
         ):
             q, s = quantize_weight(leaf)
             out[path[:-1] + ("kernel_q",)] = q

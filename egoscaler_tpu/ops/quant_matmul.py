@@ -126,6 +126,41 @@ def quant_matmul(
     return out[:m, :n]
 
 
+@jax.custom_vjp
+def quant_matmul_diff(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
+    """quant_matmul with an activation gradient — lets the loss
+    differentiate THROUGH int8-frozen layers (the QLoRA-style recipe:
+    a trainable adapter around a quantized frozen trunk; the 7B
+    frozen-recipe train at scripts/run_7b_chip.py --quant_trunk).
+    Weights/scales get zero cotangents (they are frozen by contract)."""
+    return quant_matmul(x, w_q, scale)
+
+
+def _qmm_fwd(x, w_q, scale):
+    # y.dtype == x.dtype, so dy's dtype serves as the dx dtype
+    return quant_matmul(x, w_q, scale), (w_q, scale)
+
+
+def _qmm_bwd(res, dy):
+    w_q, scale = res
+    # dx = (dy * scale) @ dequant(w)^T.  Contract over N of the int8
+    # weight directly — one transient bf16 dequant per layer (XLA frees
+    # it between layers; under remat the bwd recomputes it), no
+    # persistent bf16 copy.
+    dy_s = (dy.astype(jnp.float32) * scale[None, :]).astype(jnp.bfloat16)
+    dx = jnp.einsum(
+        "mn,kn->mk", dy_s, w_q.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(dy.dtype)
+    import numpy as _np
+
+    dw = _np.zeros(w_q.shape, jax.dtypes.float0)  # int8: zero-sized tangent
+    return dx, dw, jnp.zeros_like(scale)
+
+
+quant_matmul_diff.defvjp(_qmm_fwd, _qmm_bwd)
+
+
 def quant_matmul_xla(x: jax.Array, w_q: jax.Array, scale: jax.Array) -> jax.Array:
     """XLA reference path (dequantizes through HBM — correctness oracle
     and CPU fallback, not a bandwidth win)."""

@@ -142,6 +142,7 @@ def make_train_step(
     prompt_len: int,
     grad_accum_steps: int = 1,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -200,4 +201,8 @@ def make_train_step(
             {"loss": loss},
         )
 
+    if not jit:
+        # raw callable for AOT paths that pick their own jit options
+        # (AUTO input layouts at 7B — scripts/run_7b_chip.py)
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

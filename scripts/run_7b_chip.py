@@ -70,6 +70,18 @@ def main():
     ap.add_argument("--out", default="RUN_7B_CHIP.json")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (smoke test of this script)")
+    ap.add_argument("--quant_trunk", action="store_true",
+                    help="frozen-recipe train with the frozen LLaMA "
+                         "layers stored int8 (weight_quant='int8_trunk', "
+                         "QLoRA-style): trunk params drop 12.6 -> ~6.5 "
+                         "GiB, gradients flow through quant_matmul_diff; "
+                         "lm_head/embeddings stay trainable bf16")
+    ap.add_argument("--auto_train", action="store_true",
+                    help="compile the train step with AUTO input layouts "
+                         "(runtime/layouts.py): weights materialize in "
+                         "the layouts the step prefers, killing the "
+                         "~GiB-scale in-program transposed copies that "
+                         "OOM bs4 with default layouts")
     args = ap.parse_args()
 
     import jax
@@ -95,6 +107,17 @@ def main():
     cfg = PointLLMConfig().tiny() if args.tiny else PointLLMConfig()
     lay = BatchLayout(cfg)
     model = TrajPointLLM(cfg, remat=not args.tiny)
+    if args.quant_trunk:
+        # int8 frozen trunk: a second (bf16) tree cannot coexist with
+        # it on one chip, so this mode measures training only
+        import dataclasses
+
+        args.mode = "train"
+        qtcfg = dataclasses.replace(
+            cfg,
+            llama=dataclasses.replace(cfg.llama, weight_quant="int8_trunk"),
+        )
+        model = TrajPointLLM(qtcfg, remat=not args.tiny)
     n_params = None
 
     results = {
@@ -161,8 +184,44 @@ def main():
             )
             trainable_n = sum(v.size for v in trainable.values())
             results["trainable_params"] = int(trainable_n)
-            step_fn = make_train_step(model, tx, lay.prompt_len, 1,
-                                      donate=True)
+            if args.auto_train:
+                # AUTO input layouts: weights/state materialize in the
+                # layouts the compiled step prefers — kills the
+                # in-program transposed weight copies that OOM default
+                # layouts at bs4 (same trick as the 7B decode path)
+                import jax.tree_util as jtu
+                from jax.experimental.layout import Format, Layout
+
+                from egoscaler_tpu.runtime.layouts import relayout_tree
+
+                raw = make_train_step(model, tx, lay.prompt_len, 1,
+                                      donate=True, jit=False)
+                # donated inputs need the outputs AUTO too (the aliased
+                # output inherits the input's chosen layout)
+                jf = jax.jit(raw, in_shardings=Format(Layout.AUTO),
+                             out_shardings=Format(Layout.AUTO),
+                             donate_argnums=(0,))
+                abstract = jtu.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    (state, batch),
+                )
+                print(f"AUTO-layout compiling train step bs {tb} ...",
+                      flush=True)
+                try:
+                    step_fn = jf.lower(*abstract).compile()
+                    fmts = step_fn.input_formats[0]
+                    state = relayout_tree(state, fmts[0], delete_src=True)
+                    batch = relayout_tree(batch, fmts[1])
+                except Exception as e:  # noqa: BLE001
+                    msg = str(e).splitlines()[0][:200]
+                    attempts.append({"batch_size": tb, "fits": False,
+                                     "auto_layouts": True, "error": msg})
+                    print(f"  bs {tb} does not fit (AUTO): {msg}",
+                          flush=True)
+                    continue
+            else:
+                step_fn = make_train_step(model, tx, lay.prompt_len, 1,
+                                          donate=True)
             state_box = [state]
 
             def run_step():
@@ -199,7 +258,11 @@ def main():
                 "recipe": "frozen LLM layers + point backbone "
                           "(model_arch.py:33-51); trainable "
                           f"{trainable_n/1e6:.0f}M params, bf16 moments, "
-                          "donated state",
+                          "donated state"
+                          + ("; int8 frozen trunk (QLoRA-style)"
+                             if args.quant_trunk else "")
+                          + ("; AUTO input layouts"
+                             if args.auto_train else ""),
             }
             print(json.dumps(results["train"]), flush=True)
             # the donated step consumed the original trainable leaves:

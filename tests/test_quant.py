@@ -299,3 +299,92 @@ def test_quantized_init_structure_matches_transform(trained_tiny):
     assert set(flat_init.keys()) == set(flat_q.keys())
     for k in flat_init:
         assert flat_init[k].shape == jnp.shape(flat_q[k]), k
+
+
+def test_quant_matmul_activation_gradient():
+    """quant_matmul_diff backprops through the int8 layer: dx matches the
+    dequantized-Dense gradient (frozen-trunk training,
+    run_7b_chip.py --quant_trunk)."""
+    from egoscaler_tpu.ops.quant_matmul import (
+        dequantize_weight, quant_matmul_diff, quantize_weight,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 16)), jnp.float32)
+    q, s = quantize_weight(w)
+    w_deq = dequantize_weight(q, s)
+
+    def f_quant(x):
+        return jnp.sum(jnp.sin(quant_matmul_diff(x, q, s)))
+
+    def f_ref(x):
+        return jnp.sum(jnp.sin(x @ w_deq))
+
+    gx = jax.grad(f_quant)(x)
+    gr = jax.grad(f_ref)(x)
+    # the custom bwd contracts in bf16 (one transient dequant, no
+    # persistent copy) — compare at bf16 precision
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gr),
+                               atol=5e-2, rtol=2e-2)
+
+
+def test_quant_trunk_train_step_learns():
+    """int8_trunk: frozen LLaMA layers stored int8 (QuantDense), lm_head
+    stays a trainable bf16 Dense; a frozen-recipe train step runs and
+    the loss falls — gradients flow THROUGH the quantized trunk."""
+    from flax import traverse_util
+
+    from egoscaler_tpu.models.quantize import quantize_decode_params
+    from egoscaler_tpu.training.dataset import BatchLayout
+    from egoscaler_tpu.training.trainer import (
+        TrainState, frozen_patterns, make_optimizer, make_train_step,
+        partition_params,
+    )
+
+    cfg = PointLLMConfig().tiny()
+    model = TrajPointLLM(cfg, remat=False)
+    rng = np.random.RandomState(0)
+    lay = BatchLayout(cfg)
+    b = 2
+    ids = np.full((b, lay.total_len), 5, np.int32)
+    ids[:, 0] = cfg.point_start_token_id
+    ids[:, 1:1 + cfg.point_bert.point_token_len] = cfg.point_patch_token_id
+    ids[:, 1 + cfg.point_bert.point_token_len:] = rng.randint(
+        5, 100, size=(b, lay.total_len - 1 - cfg.point_bert.point_token_len)
+    )
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.ones((b, lay.total_len), bool),
+        "point_clouds": jnp.asarray(
+            rng.randn(b, cfg.point_bert.npoints, 6).astype(np.float32)
+        ),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["point_clouds"]
+    )
+    qparams = quantize_decode_params(params, trunk_only=True)
+    # lm_head kernel still a plain Dense kernel
+    flat = traverse_util.flatten_dict(qparams, sep="/")
+    assert "params/lm_head/kernel" in flat
+    assert any("kernel_q" in k for k in flat)
+
+    qcfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8_trunk")
+    )
+    qmodel = TrajPointLLM(qcfg, remat=False)
+    tcfg = TrainConfig(batch_size=b, lr=1e-3)
+    trainable, frozen = partition_params(qparams, frozen_patterns(tcfg))
+    assert any("kernel_q" in k for k in frozen)
+    assert not any("kernel_q" in k for k in trainable)
+    tx = make_optimizer(tcfg, total_steps=10)
+    state = TrainState(
+        trainable, frozen, tx.init(trainable), jnp.asarray(0, jnp.int32)
+    )
+    step = make_train_step(qmodel, tx, lay.prompt_len, 1, donate=False)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
