@@ -147,6 +147,11 @@ def main():
                          "sidesteps the AUTO-layout requirement — int8 "
                          "weights feed pallas_call directly, no "
                          "transposed in-program copies")
+    ap.add_argument("--kv8", action="store_true",
+                    help="serve with the int8 KV cache (Pallas flash-"
+                         "decode, ops/kv8_attention.py) — composes with "
+                         "--quant for the full int8-weights + int8-cache "
+                         "serving stack")
     ap.add_argument("--out", default="SERVING_BENCH.json")
     args = ap.parse_args()
     if args.tiny:
@@ -171,12 +176,17 @@ def main():
     }[args.model]()
     args.tiny = args.model == "tiny"
     is_7b = args.model == "7b"
-    if args.quant:
+    if args.quant or args.kv8:
         import dataclasses
 
         cfg = dataclasses.replace(
-            cfg, llama=dataclasses.replace(cfg.llama, weight_quant="int8")
+            cfg, llama=dataclasses.replace(
+                cfg.llama,
+                weight_quant="int8" if args.quant else cfg.llama.weight_quant,
+                kv_quant="int8" if args.kv8 else cfg.llama.kv_quant,
+            )
         )
+    if args.quant:
         is_7b = False  # int8 params need no AUTO layouts (pallas operands)
     lay = BatchLayout(cfg)
     model = TrajPointLLM(cfg, remat=False)
@@ -198,12 +208,14 @@ def main():
         "mixed": mixed,
     }
 
-    if args.quant and args.out == "SERVING_BENCH.json":
+    if (args.quant or args.kv8) and args.out == "SERVING_BENCH.json":
         args.out = "SERVING_BENCH_INT8.json"
     results = {
         "model": {"tiny": "tiny", "flagship": "flagship_tpu (1.1B), bf16",
                   "7b": "PointLLM-7B, bf16, AUTO param layouts"}[args.model]
-        + (" + int8 weights (w8a16 Pallas)" if args.quant else ""),
+        + (" + int8 weights (w8a16 Pallas)" if args.quant else "")
+        + (" + int8 KV cache (KV8 Pallas flash-decode)" if args.kv8
+           else ""),
         "device": str(jax.devices()[0]),
         "prompt_len": lay.prompt_len,
         "max_new_tokens": max_tok,
