@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-3 measurement chain (VERDICT items 1-3): runs serially on the one
+# TPU after scripts/train_flagship_grounding.py has written
+# GROUNDING_CKPT/best_params.npz.  Each step is independently resumable —
+# re-running skips artifacts that already exist (delete a JSON to redo it).
+# ONE TPU process at a time (CLAUDE.md): never run this concurrently with
+# training or bench.py.
+set -u
+cd "$(dirname "$0")/.."
+CKPT=GROUNDING_CKPT/best_params.npz
+
+run () {  # run <artifact> <cmd...>
+  local out=$1; shift
+  if [ -s "$out" ]; then echo "== $out exists, skip"; return 0; fi
+  echo "== $out: $*"
+  timeout 1500 "$@"
+  echo "== $out exit=$?"
+  sleep 5  # let the axon claim release before the next process
+}
+
+run QUANT_BENCH.json \
+  python scripts/bench_quant_decode.py --kv8 --ckpt "$CKPT" \
+    --out QUANT_BENCH.json
+run SERVING_BENCH_INT8.json \
+  python scripts/bench_serving.py --quant --kv8 --out SERVING_BENCH_INT8.json
+run SPECULATIVE_BENCH.json \
+  python scripts/bench_speculative.py --engine --quant --target_ckpt "$CKPT" \
+    --out SPECULATIVE_BENCH.json
+run QUANT_BENCH_7B.json \
+  python scripts/bench_quant_decode.py --size 7b --kv8 \
+    --out QUANT_BENCH_7B.json
+run RUN_7B_TRAIN_INT8.json \
+  python scripts/run_7b_chip.py --mode train --train_bs 4 --quant_trunk \
+    --auto_train --out RUN_7B_TRAIN_INT8.json
+echo "chain done"
