@@ -98,7 +98,11 @@ _IRREGULAR = {
     "knives": "knife", "dishes": "dish", "glasses": "glass",
     "boxes": "box", "tongs": "tong", "scissors": "scissor",
     "tomatoes": "tomato", "potatoes": "potato",
-    "measuring": "measure", "tuning": "tune",
+    "measuring": "measure", "tuning": "tune", "spun": "spin",
+    "hung": "hang", "torn": "tear", "tore": "tear", "threw": "throw",
+    "thrown": "throw", "drew": "draw", "drawn": "draw", "swept": "sweep",
+    "wrung": "wring", "bent": "bend", "slid": "slide", "wore": "wear",
+    "worn": "wear",
 }
 
 _KEEP_ING = {
@@ -121,6 +125,8 @@ def lemmatize_word(w: str) -> str:
     if w in _KEEP_S or len(w) <= 3:
         return w
     if w.endswith("ies") and len(w) > 4:
+        if w[:-1] in _ACTION_VERBS:  # unties -> untie
+            return w[:-1]
         return w[:-3] + "y"
     if w.endswith("sses") or w.endswith("ches") or w.endswith("shes") or w.endswith("xes"):
         return w[:-2]
@@ -128,13 +134,19 @@ def lemmatize_word(w: str) -> str:
         stem = w[:-3]
         if not any(ch in "aeiouy" for ch in stem):
             return w  # 'string', 'spring': -ing is part of the noun
+        if stem in _ACTION_VERBS:  # rolling -> roll (not 'rol')
+            return stem
+        if stem + "e" in _ACTION_VERBS:  # slicing -> slice
+            return stem + "e"
         if len(stem) > 2 and stem[-1] == stem[-2]:  # cutting -> cut
             return stem[:-1]
-        if not stem.endswith(("e", "y")) and stem[-1] not in "aeiou":
-            return stem
         return stem
     if w.endswith("ed") and len(w) > 4:
         stem = w[:-2]
+        if stem in _ACTION_VERBS:  # rolled -> roll, folded -> fold
+            return stem
+        if stem + "e" in _ACTION_VERBS:  # tuned -> tune, wiped -> wipe
+            return stem + "e"
         if len(stem) > 2 and stem[-1] == stem[-2]:
             return stem[:-1]
         if stem.endswith(("at", "iz", "us", "ac", "v", "c")):
@@ -197,31 +209,86 @@ _ACTION_VERBS = frozenset(
 _VERB_SCAN_WINDOW = 6
 
 
-def extract_verb_obj(desc: str) -> Tuple[Optional[str], Optional[str]]:
-    """nlp_tools.py:20-34: (verb, object) from a lemmatized description.
+# prepositions/conjunctions that end an object noun phrase
+_NP_STOPS = {
+    "with", "from", "to", "into", "onto", "in", "on", "at", "and",
+    "then", "after", "before", "while", "using", "by", "for",
+}
+_SUBJECT_PRONOUNS = {"c", "i", "he", "she", "they", "we", "you", "it"}
+_ADVERBS_SKIP = {
+    "quickly", "slowly", "gently", "carefully", "firmly", "then",
+    "immediately", "briefly", "repeatedly", "lightly", "slightly",
+}
 
-    The reference replaces the leading subject token with 'I' and runs a
-    dependency-parse SVO extractor (suject_verb_object_extraction.py:
-    285-326); our pattern grammar covers the subject-verb(-particle)-
-    object shape of atomic narrations: the verb is the first
-    action-lexicon lemma in the scan window (handles pronoun and
-    multi-word subjects, adverbs, progressives), an immediately
-    following particle joins it ('pick up'), and the object is the next
-    noun phrase up to a preposition/conjunction, determiners stripped.
-    Returns (lemmatized verb [+ particle], object) — both None when no
-    verb is found, object None when absent or a bare pronoun.
 
-    Documented divergences from the spaCy extractor (tests/
-    test_svo_corpus.py pins each): verbs carry their particle (reference
-    returns the bare verb), bare-pronoun objects map to None (reference
-    returns 'it'), negation is not marked with '!', passives lose the
-    object instead of swapping roles, only the first (verb, object) pair
-    is returned for conjoined verbs/objects, and a subject noun that is
-    also an action lemma ('the cook ...') wins the verb scan.
+def _parse_verb_phrase(words, vi):
+    """Parse verb(+particle)+object starting at the action verb ``vi``.
+
+    Returns (verb_with_particle, obj_words, stop_word, next_i) where
+    ``stop_word`` is the preposition/conjunction that ended the object
+    scan (None if the sentence ended) and ``next_i`` indexes the token
+    after that stop.
+    """
+    verb = lemmatize_word(words[vi])
+    i = vi + 1
+    particle = None
+    if i < len(words) and words[i] in _PARTICLES:
+        particle = words[i]
+        i += 1
+    obj_words = []
+    stop_word = None
+    while i < len(words):
+        lw = words[i].lower()
+        if lw in _NP_STOPS:
+            stop_word = lw
+            i += 1
+            break
+        obj_words.append(lw)
+        i += 1
+    # "pick it up": a trailing particle after the object joins the verb.
+    if obj_words and particle is None and obj_words[-1] in _PARTICLES:
+        particle = obj_words.pop()
+    full_verb = f"{verb} {particle}" if particle else verb
+    return full_verb, obj_words, stop_word, i
+
+
+def _clean_obj(obj_words) -> Optional[str]:
+    obj = re.sub(_DETERMINERS, "", " ".join(obj_words)).strip()
+    if not obj or obj in _STOP_OBJECT:
+        return None
+    return obj
+
+
+def extract_svos(desc: str):
+    """All (verb, object) pairs from a lemmatized description.
+
+    Rule-grammar analogue of the reference's findSVOs
+    (suject_verb_object_extraction.py:285-326), covering the
+    subject-verb(-particle)-object shape of atomic narrations: the
+    first verb is the first action-lexicon lemma in the scan window
+    (handles pronoun and multi-word subjects, adverbs, progressives);
+    an immediately following particle joins it ('pick up'); the object
+    is the next noun phrase up to a preposition/conjunction,
+    determiners stripped.
+
+    Passives role-swap like the reference is_pas branch (findSVOs
+    appends (object, verb, subject) and extract_verb_obj reads slot 2):
+    a 'be' immediately before the verb with no following object — and
+    either a 'by' agent or sentence end after the verb phrase — yields
+    (verb, passive-subject NP).
+
+    Conjoined verbs mirror the reference _right_of_verb_is_conj_verb
+    branch: 'C turns and picks up the knife' yields BOTH
+    [('turn', 'knife'), ('pick up', 'knife')] — the conjunct's object
+    is shared back to the first verb, matching findSVOs taking objs
+    from conjV for both entries.  When the first verb has its own
+    object ('C picks up the knife and cuts the onion') each verb keeps
+    its own pair — a deliberate divergence from the reference, which
+    maps both verbs to the second object.
     """
     words = desc.strip().rstrip(".").split()
     if len(words) < 2:
-        return None, None
+        return []
     # Locate the verb: first action lemma in the window (position 0
     # included for imperatives); fall back to the token after the
     # subject, mirroring the reference's 'I' substitution.
@@ -232,33 +299,57 @@ def extract_verb_obj(desc: str) -> Tuple[Optional[str], Optional[str]]:
             break
     if vi is None:
         vi = 1
-    verb = lemmatize_word(words[vi])
-    rest = words[vi + 1:]
-    idx = 0
-    particle = None
-    if idx < len(rest) and rest[idx] in _PARTICLES:
-        particle = rest[idx]
-        idx += 1
-    # object: next noun phrase, stopping at prepositions/conjunctions
-    stops = {
-        "with", "from", "to", "into", "onto", "in", "on", "at", "and",
-        "then", "after", "before", "while", "using", "by", "for",
-    }
-    obj_words = []
-    for w in rest[idx:]:
-        lw = w.lower()
-        if lw in stops:
-            break
-        obj_words.append(lw)
-    # "pick it up": a trailing particle after the object joins the verb.
-    if obj_words and particle is None and obj_words[-1] in _PARTICLES:
-        particle = obj_words.pop()
-    obj = " ".join(obj_words)
-    obj = re.sub(_DETERMINERS, "", obj).strip()
-    full_verb = f"{verb} {particle}" if particle else verb
-    if not obj or obj in _STOP_OBJECT:
-        return full_verb or None, None
-    return full_verb, obj
+    verb1, obj1_words, stop1, next_i = _parse_verb_phrase(words, vi)
+
+    # ---- passive: "the knife be pick up by c" / "the onion be be cut"
+    if (vi > 0 and words[vi - 1] == "be" and not obj1_words
+            and (stop1 == "by" or stop1 is None)):
+        subj_words = [w for w in words[:vi - 1] if w != "be"]
+        subj = _clean_obj(subj_words)
+        if subj is not None and subj not in _SUBJECT_PRONOUNS:
+            return [(verb1, subj)]
+
+    svos = [(verb1, _clean_obj(obj1_words))]
+
+    # ---- conjoined verb after 'and'/'then': parse the second phrase
+    if stop1 in ("and", "then"):
+        j = next_i
+        while j < len(words) and words[j] in _ADVERBS_SKIP:
+            j += 1
+        if j < len(words) and lemmatize_word(words[j]) in _ACTION_VERBS:
+            verb2, obj2_words, _, _ = _parse_verb_phrase(words, j)
+            obj2 = _clean_obj(obj2_words)
+            if svos[0][1] is None and obj2 is not None:
+                # reference shared-object semantics: conjV's object is
+                # attributed to the first verb too
+                svos[0] = (verb1, obj2)
+            svos.append((verb2, obj2))
+    return svos
+
+
+def extract_verb_obj(desc: str) -> Tuple[Optional[str], Optional[str]]:
+    """nlp_tools.py:20-34: (verb, object) from a lemmatized description.
+
+    The reference replaces the leading subject token with 'I', runs
+    findSVOs, and reads svos[0]; this returns extract_svos(desc)[0]
+    likewise.  Returns (lemmatized verb [+ particle], object) — both
+    None when no verb is found, object None when absent or a bare
+    pronoun.
+
+    Documented divergences from the spaCy extractor (tests/
+    test_svo_corpus.py pins each): verbs carry their particle
+    (reference returns the bare verb), bare-pronoun objects map to None
+    (reference returns 'it'), negation is not marked with '!',
+    verb-only sentences still return the verb (reference returns
+    (None, None) for 2-tuple SVs), agentless passives with a trailing
+    instrument ('is picked up with tongs') still lose the object, and a
+    subject noun that is also an action lemma ('the cook ...') wins the
+    verb scan.
+    """
+    svos = extract_svos(desc)
+    if not svos:
+        return None, None
+    return svos[0]
 
 
 # optional spaCy backend

@@ -13,10 +13,29 @@ run () {  # run <artifact> <cmd...>
   local out=$1; shift
   if [ -s "$out" ]; then echo "== $out exists, skip"; return 0; fi
   echo "== $out: $*"
-  timeout 1500 "$@"
-  echo "== $out exit=$?"
+  timeout 2400 "$@"
+  local rc=$?
+  echo "== $out exit=$rc"
+  if [ "$rc" -ne 0 ]; then
+    # a timeout-killed (124) or crashed TPU step may hold its axon claim
+    # for a while; a quick relaunch can silently deadlock (CLAUDE.md).
+    # Remove a partial artifact so the resume-skip never treats it as
+    # done, wait long, and abort the chain for manual triage.
+    [ -f "$out" ] && [ ! -s "$out" ] && rm -f "$out"
+    echo "== chain ABORTED at $out (rc=$rc); wait >=30s before the next TPU process"
+    sleep 30
+    exit "$rc"
+  fi
   sleep 5  # let the axon claim release before the next process
 }
+
+# ckpt-dependent steps: bench_quant_decode/bench_speculative silently
+# fall back to untrained params if the ckpt is missing, and the
+# resume-skip would then permanently treat those artifacts as done.
+if [ ! -s "$CKPT" ]; then
+  echo "missing $CKPT — run scripts/train_flagship_grounding.py --save_dir GROUNDING_CKPT first"
+  exit 1
+fi
 
 run QUANT_BENCH.json \
   python scripts/bench_quant_decode.py --kv8 --ckpt "$CKPT" \

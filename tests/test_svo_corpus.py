@@ -147,6 +147,66 @@ CORPUS = [
     # --- adverbs between subject and verb ---
     ("C quickly grabs the handle.", "grab", "handle"),
     ("C gently places the glass.", "place", "glass"),
+    # --- passives: role swap recovers the object (round-4 fix;
+    # reference is_pas branch appends (obj, verb, subj) and
+    # extract_verb_obj reads slot 2 -> the passive subject) ---
+    ("The knife is picked up by C.", "pick up", "knife"),
+    ("The onion is being cut.", "cut", "onion"),
+    ("The bowl is placed by the man.", "place", "bowl"),
+    ("The dough is rolled by C.", "roll", "dough"),
+    ("The bolt is tightened by the mechanic.", "tighten", "bolt"),
+    ("The guitar is tuned by C.", "tune", "guitar"),
+    ("The towel is folded.", "fold", "towel"),
+    ("The lid is removed by her.", "remove", "lid"),
+    ("The wheel is spun by C.", "spin", "wheel"),
+    ("The table is wiped.", "wipe", "table"),
+    # --- conjoined verbs: both pairs extracted; svos[0] carries the
+    # shared object like the reference conjV branch (round-4 fix) ---
+    ("C turns and picks up the knife.", "turn", "knife"),
+    ("C stands up and grabs the towel.", "stand up", "towel"),
+    ("C reaches and takes the bottle.", "reach", "bottle"),
+    ("C turns and opens the drawer.", "turn", "drawer"),
+    ("C leans and picks up the wrench.", "lean", "wrench"),
+    ("C turns around and lifts the box.", "turn around", "box"),
+    # --- first verb keeps its own object when it has one ---
+    ("C picks up the knife and cuts the onion.", "pick up", "knife"),
+    ("C opens the fridge and takes the milk.", "open", "fridge"),
+    ("C grabs the pan and places it on the stove.", "grab", "pan"),
+    ("C lifts the lid and stirs the soup.", "lift", "lid"),
+    # --- more everyday narrations (breadth) ---
+    ("C zips up the bag.", "zip up", "bag"),
+    ("C unzips the pouch.", "unzip", "pouch"),
+    ("C plugs in the charger.", "plug in", "charger"),
+    ("C unplugs the cable.", "unplug", "cable"),
+    ("C wraps the sandwich in foil.", "wrap", "sandwich"),
+    ("C unwraps the package.", "unwrap", "package"),
+    ("C ties the shoelace.", "tie", "shoelace"),
+    ("C unties the knot.", "untie", "knot"),
+    ("C stacks the plates.", "stack", "plate"),
+    ("C arranges the flowers in the vase.", "arrange", "flower"),
+    ("C sweeps the floor with a broom.", "sweep", "floor"),
+    ("C scrubs the pan.", "scrub", "pan"),
+    ("C soaks the beans in water.", "soak", "bean"),
+    ("C strains the stock.", "strain", "stock"),
+    ("C scrapes the bowl with a spatula.", "scrape", "bowl"),
+    ("C ladles the soup into the bowl.", "ladle", "soup"),
+    ("C trims the stems.", "trim", "stem"),
+    ("C drizzles the olive oil on the salad.", "drizzle", "olive oil"),
+    ("C tosses the salad.", "toss", "salad"),
+    ("C seasons the chicken.", "season", "chicken"),
+    ("C garnishes the plate.", "garnish", "plate"),
+    ("C weighs the flour on the scale.", "weigh", "flour"),
+    ("C loads the dishwasher.", "load", "dishwasher"),
+    ("C empties the bin.", "empty", "bin"),
+    ("C fills the kettle with water.", "fill", "kettle"),
+    ("C mounts the shelf on the wall.", "mount", "shelf"),
+    ("C drills a hole in the wall.", "drill", "hole"),
+    ("C hammers the nail.", "hammer", "nail"),
+    ("C clamps the board.", "clamp", "board"),
+    ("C glues the pieces together.", "glue together", "piece"),
+    ("C tapes the box.", "tape", "box"),
+    ("C paints the fence.", "paint", "fence"),
+    ("C sands the edge of the plank.", "sand", "edge of plank"),
 ]
 
 
@@ -156,14 +216,16 @@ def test_svo_corpus(raw, verb, obj):
 
 
 def test_corpus_size_and_coverage():
-    """The corpus stays ≥100 narrations with the coverage classes the
-    round-2 verdict asked for."""
-    assert len(CORPUS) >= 100
+    """The corpus stays ≥150 narrations with the coverage classes the
+    round-2/round-3 verdicts asked for."""
+    assert len(CORPUS) >= 150
     raws = " ".join(c[0].lower() for c in CORPUS)
     assert "picks up" in raws and "puts down" in raws  # phrasal verbs
     assert "and the" in raws                           # conjoined objects
     assert "she picks" in raws and "they move" in raws  # pronoun subjects
     assert "piece of wood" in raws                     # prep-embedded NP
+    assert "is picked up by" in raws                   # passives (fixed r4)
+    assert "turns and picks up" in raws                # conjoined verbs (r4)
 
 
 # ---------------------------------------------------------------------------
@@ -179,18 +241,38 @@ def test_failure_class_negation_not_marked():
     assert svo("C does not pick up the knife.") == ("pick up", "knife")
 
 
-def test_failure_class_passive_loses_object():
-    """Reference swaps roles for passives (findSVOs is_pas branch); the
-    grammar finds the verb but the agent sits behind 'by' (a stop), so
-    the object is lost rather than swapped."""
-    assert svo("The knife is picked up by C.") == ("pick up", None)
+def test_passive_role_swap_fixed():
+    """Round-4 fix: passives now role-swap like the reference is_pas
+    branch (findSVOs appends (obj, verb, subj); extract_verb_obj reads
+    slot 2 -> the passive subject becomes the object)."""
+    assert svo("The knife is picked up by C.") == ("pick up", "knife")
+    assert svo("The onion is being cut.") == ("cut", "onion")
 
 
-def test_failure_class_conjoined_verbs_keep_first():
-    """'turns and picks up' yields two SVOs in the reference; the
-    grammar stops at the first verb and the conjunction kills the
-    object."""
-    assert svo("C turns and picks up the knife.") == ("turn", None)
+def test_failure_class_agentless_passive_with_instrument():
+    """Remaining documented limitation: an agentless passive with a
+    trailing instrument phrase is indistinguishable (in lemmatized
+    space) from a progressive with a prep phrase, so the object is
+    still lost rather than swapped."""
+    assert svo("The knife is picked up with tongs.") == ("pick up", None)
+
+
+def test_conjoined_verbs_fixed():
+    """Round-4 fix: 'turns and picks up' yields both pairs; svos[0]
+    carries the shared object exactly like the reference conjV branch
+    (findSVOs attributes conjV's objects to both verbs)."""
+    from egoscaler_tpu.data.tools.nlp_tools import extract_svos
+    from egoscaler_tpu.data.tools.nlp_tools import lemmatize_description
+
+    pairs = extract_svos(
+        lemmatize_description("C turns and picks up the knife.")
+    )
+    assert pairs == [("turn", "knife"), ("pick up", "knife")]
+    # first verb with its own object keeps it; second pair still emitted
+    pairs = extract_svos(
+        lemmatize_description("C picks up the knife and cuts the onion.")
+    )
+    assert pairs == [("pick up", "knife"), ("cut", "onion")]
 
 
 def test_failure_class_bare_pronoun_object_is_none():
