@@ -45,6 +45,26 @@ per-call relay fetch overhead — are printed on stderr as a breakdown.
 
 Set EGOSCALER_BENCH_FAST=1 to bench only the registration/trajectory
 program (stage 5) for quick iteration.
+
+Two operating points are measured and reported in the ONE JSON line:
+
+* 16-frame window (clips_per_sec_16f / vs_baseline_16f): the round-1..3
+  headline, kept for round-over-round comparability.
+* 80-frame clip (the headline value): the reference's REAL clip is
+  20 fps x 4 s = 80 frames (configs/camera.py:1-13;
+  4_get_image.py:112-133 dumps 80 JPEGs) — stage 7 runs depth on ALL
+  frames (7_get_object_trajectory.py:112-124), registers 79 frame
+  pairs (:244-295), and tracks up to 800 mask-seeded queries
+  (SpaTracker predictor.py:160-175 caps at 800).  Referenced
+  denominator at this operating point: ~80 ViT-L depth frames +
+  sliding-window SpaTracker on GPU (~15-40 s) and 79 Open3D
+  RANSAC(<=100k)+colored-ICP pairs on CPU (~1-2 s/pair => 79-158 s),
+  total ~100-200 s/clip => 0.005-0.01 clips/s; we use 0.01 (the
+  favorable end) as the denominator.  Same estimate caveat as above —
+  no CUDA GPU exists on this host to measure the reference.
+
+Set EGOSCALER_BENCH_FULL=1 to measure ONLY the 80-frame arm (iteration);
+default runs both.
 """
 import json
 import os
@@ -216,10 +236,10 @@ def bench_registration(rng, t=16, h=384, w=384):
             ).traj_quat
         )
     )
-    return "registration+trajectory (16fr)", lambda: exs(fj, mj, tj)
+    return f"registration+trajectory ({t}fr)", lambda: exs(fj, mj, tj)
 
 
-def bench_depth(rng, t=16):
+def bench_depth(rng, t=16, chunk=16):
     import jax
     import jax.numpy as jnp
 
@@ -237,9 +257,25 @@ def bench_depth(rng, t=16):
     frames = jnp.asarray(
         rng.normal(size=(t, 518, 518, 3)).astype(np.float32)
     ).astype(jnp.bfloat16)
-    fwd = jax.jit(
-        lambda p, x: jnp.sum(model.apply(p, x).astype(jnp.float32))
-    )
+    if t > chunk:
+        # 80-frame clips: a single batch-80 ViT-L forward holds ~5x the
+        # 16-frame activation working set; map over batch-16 chunks
+        # keeps peak HBM at the proven level (MXU stays saturated —
+        # batch 16 already fills it at these shapes)
+        assert t % chunk == 0, (t, chunk)
+        frames = frames.reshape(t // chunk, chunk, 518, 518, 3)
+        fwd = jax.jit(
+            lambda p, x: jnp.sum(
+                jax.lax.map(
+                    lambda c: jnp.sum(model.apply(p, c).astype(jnp.float32)),
+                    x,
+                )
+            )
+        )
+    else:
+        fwd = jax.jit(
+            lambda p, x: jnp.sum(model.apply(p, x).astype(jnp.float32))
+        )
     return f"depth ViT-L x{t} frames", lambda: fwd(params, frames)
 
 
@@ -313,40 +349,28 @@ def bench_sam(rng):
     return "SAM ViT-H 1024^2", lambda: jfwd(params, img, boxes)
 
 
-def bench_learned_tracker(rng, t=16):
+def bench_learned_tracker(rng, t=16, q=256):
     """The quality tracking path (reference runs learned SpaTracker,
     predictor.py:37-78): our trained window tracker over 3 sliding
     windows.  Returns None when the weight asset is absent."""
-    import dataclasses
     import jax
     import jax.numpy as jnp
-    from flax import traverse_util
 
     from egoscaler_tpu.models.tracker import (
         SpaTracker,
         SpaTrackerPredictor,
-        TrackerConfig,
+        load_tracker_asset,
     )
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "egoscaler_tpu", "assets", "tracker_occlusion.npz",
-    )
-    if not os.path.exists(path):
-        return None
-    with np.load(path) as z:
-        params = traverse_util.unflatten_dict(
-            {k: z[k] for k in z.files}, sep="/"
-        )
     # bf16 inference params: post-occlusion quality identical to f32
     # (3.241 px on the held-out gate, measured on chip), ~6 ms faster
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16), params
-    )
-    cfg = dataclasses.replace(TrackerConfig().tiny(), iters=4, window=8)
+    asset = load_tracker_asset(dtype=jnp.bfloat16)
+    if asset is None:
+        return None
+    cfg, params = asset
     pred = SpaTrackerPredictor(SpaTracker(cfg), params)
 
-    h, w, q = 384, 512, 256
+    h, w = 384, 512
     clip = jnp.asarray(rng.random((t, h, w, 3)).astype(np.float32))
     depths = jnp.asarray((1.0 + rng.random((t, h, w))).astype(np.float32))
     queries = jnp.asarray(
@@ -362,13 +386,13 @@ def bench_learned_tracker(rng, t=16):
     return f"learned tracker {t}fr x{q}pts", run
 
 
-def bench_tracker(rng, t=16):
+def bench_tracker(rng, t=16, q=256):
     import jax
     import jax.numpy as jnp
 
     from egoscaler_tpu.ops.lucas_kanade import lk_track_clip, mask_query_points
 
-    h, w, q = 384, 512, 256
+    h, w = 384, 512
     clip = jnp.asarray(rng.normal(size=(t, h, w, 3)).astype(np.float32))
     depths = jnp.asarray(
         (1.0 + rng.random((t, h, w))).astype(np.float32)
@@ -380,44 +404,69 @@ def bench_tracker(rng, t=16):
     return f"LK tracker {t}fr x{q}pts", lambda: track(clip, depths, pts)
 
 
+def run_regime(rng, t, q, clips=8):
+    """Build + time the full 5-stage pipeline at a (frames, queries)
+    operating point; returns the pipelined per-clip seconds."""
+    print(f"bench stages ({t} frames, {q} queries):", file=sys.stderr)
+    stages = [bench_registration(rng, t=t)]
+    stages.append(bench_depth(rng, t=t))
+    stages.append(bench_detector(rng))
+    stages.append(bench_sam(rng))
+    trk = bench_learned_tracker(rng, t=t, q=q)
+    if trk is None:  # weight asset absent: weight-free LK fallback
+        trk = bench_tracker(rng, t=t, q=q)
+    stages.append(trk)
+    for label, run in stages:  # per-stage breakdown (stderr only)
+        timed(label, run, iters=3)
+    timed_chain(
+        f"FULL CLIP chained ({t}fr, one fetch)", [run for _, run in stages]
+    )
+    return timed_pipelined(
+        f"PIPELINED x{clips} clips ({t}fr, one fetch)",
+        [run for _, run in stages], clips=clips,
+    )
+
+
 def main():
     rng = np.random.default_rng(0)
     fast = os.environ.get("EGOSCALER_BENCH_FAST") == "1"
+    full_only = os.environ.get("EGOSCALER_BENCH_FULL") == "1"
 
-    print("bench stages:", file=sys.stderr)
-    stages = [bench_registration(rng)]
     if fast:
-        total = timed(*stages[0])
-    else:
-        stages.append(bench_depth(rng))
-        stages.append(bench_detector(rng))
-        stages.append(bench_sam(rng))
-        trk = bench_learned_tracker(rng)
-        if trk is None:  # weight asset absent: weight-free LK fallback
-            trk = bench_tracker(rng)
-        stages.append(trk)
-        for label, run in stages:  # per-stage breakdown (stderr only)
-            timed(label, run, iters=3)
-        timed_chain(
-            "FULL CLIP chained (one fetch)", [run for _, run in stages]
-        )
-        total = timed_pipelined(
-            "PIPELINED x8 clips (one fetch)", [run for _, run in stages]
-        )
+        print("bench stages:", file=sys.stderr)
+        label, run = bench_registration(rng)
+        total = timed(label, run)
+        clips_per_sec = 1.0 / total
+        print(json.dumps({
+            "metric": "registration_clips_per_sec_per_chip",
+            "value": round(clips_per_sec, 3),
+            "unit": "clips/s",
+            "vs_baseline": round(clips_per_sec / 0.05, 2),
+        }))
+        return
 
-    clips_per_sec = 1.0 / total
-    baseline = 0.05  # reference clips/s estimate (module docstring)
-    print(
-        json.dumps(
-            {
-                "metric": "full_pipeline_clips_per_sec_per_chip"
-                if not fast else "registration_clips_per_sec_per_chip",
-                "value": round(clips_per_sec, 3),
-                "unit": "clips/s",
-                "vs_baseline": round(clips_per_sec / baseline, 2),
-            }
-        )
-    )
+    # denominators: documented literature estimates (module docstring) —
+    # 16-frame window 0.05 clips/s; the reference's real 80-frame clip
+    # 0.01 clips/s (79 Open3D pairs + 80 depth frames dominate).
+    base_16f, base_80f = 0.05, 0.01
+
+    total_16f = None
+    if not full_only:
+        total_16f = run_regime(rng, t=16, q=256)
+    # 80-frame arm: 4 clips pipelined (each carries 5x the frames; 8x80f
+    # inputs would approach the HBM budget without changing the answer)
+    total_80f = run_regime(rng, t=80, q=800, clips=4)
+
+    out = {
+        "metric": "full_clip80_clips_per_sec_per_chip",
+        "value": round(1.0 / total_80f, 3),
+        "unit": "clips/s",
+        "vs_baseline": round(1.0 / total_80f / base_80f, 2),
+    }
+    if total_16f is not None:
+        out["clips_per_sec_16f"] = round(1.0 / total_16f, 3)
+        out["vs_baseline_16f"] = round(1.0 / total_16f / base_16f, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -123,6 +123,15 @@ class ObjectPose3dProvider:
             return None
         return self._poses[ts], dt
 
+    def get_data_statistics(self) -> dict:
+        """ObjectPose3dProvider.get_data_statistics
+        (test_ObjectPose3dProvider.py:51 asserts non-empty)."""
+        return {
+            "num_frames": len(self.timestamps),
+            "num_objects": len(self.object_uids),
+            "object_uids": list(self.object_uids),
+        }
+
     def trajectory(self, uid: str) -> Tuple[np.ndarray, np.ndarray]:
         """(timestamps, positions (T, 3)) for one object."""
         ts, pos = [], []

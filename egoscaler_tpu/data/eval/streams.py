@@ -414,6 +414,22 @@ class HandPoseProvider:
             return None
         return coll, dt
 
+    def get_data_statistics(self) -> Dict[str, int]:
+        """HandDataProviderBase.get_data_statistics: frame count plus
+        per-handedness totals (test_HandDataProvider.py:82-85 asserts
+        all three are positive on the sample sequences)."""
+        n_left = sum(
+            1 for c in self._poses.values() if Handedness.Left in c.poses
+        )
+        n_right = sum(
+            1 for c in self._poses.values() if Handedness.Right in c.poses
+        )
+        return {
+            "num_frames": len(self._poses),
+            "num_left_hands": n_left,
+            "num_right_hands": n_right,
+        }
+
 
 def load_hand_poses(path: str) -> Optional[HandPoseProvider]:
     """{mano,umetrack}_hand_pose_trajectory.jsonl

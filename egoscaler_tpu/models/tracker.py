@@ -386,3 +386,55 @@ class SpaTrackerPredictor:
         if key not in self._clip_fns:
             self._clip_fns[key] = self._build_clip_fn(t, win)
         return self._clip_fns[key](self.params, clip, depths, queries)
+
+
+def default_asset_path() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "assets", "tracker_occlusion.npz",
+    )
+
+
+def load_tracker_asset(
+    path: Optional[str] = None,
+    dtype: Optional[jnp.dtype] = None,
+) -> Optional[Tuple[TrackerConfig, dict]]:
+    """(config, params) for the trained tracker asset, or None when the
+    asset is absent.
+
+    The architecture is read from the ``<asset>.config.json`` sidecar
+    written by scripts/train_tracker.py; assets trained before round 4
+    have no sidecar and get the historical tiny config (iters=4,
+    window=8).  Centralizing this lets a re-trained scaled asset flow
+    to every consumer (stage 7, bench, profiling, tests) without their
+    hard-coded configs drifting — the reference's analogue is the
+    single torch checkpoint path in SpaTracker predictor.py:37-78.
+    """
+    import json
+    import os
+
+    import numpy as np
+    from flax import traverse_util
+
+    path = path or default_asset_path()
+    if not os.path.exists(path):
+        return None
+    sidecar = path[: -len(".npz")] + ".config.json" if path.endswith(
+        ".npz"
+    ) else path + ".config.json"
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            cfg = TrackerConfig(**json.load(f))
+    else:
+        cfg = dataclasses.replace(TrackerConfig().tiny(), iters=4, window=8)
+    with np.load(path) as z:
+        params = traverse_util.unflatten_dict(
+            {k: z[k] for k in z.files}, sep="/"
+        )
+    if dtype is not None:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(dtype), params
+        )
+    return cfg, params

@@ -159,11 +159,14 @@ def build_tracker(kind: str = "auto", checkpoint: Optional[str] = None):
     The learned callable matches process_clip's tracker interface:
     (clip [0,1], depths, queries (Q,3)) -> (T, Q, 3) tracks.
     """
-    default_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "assets", "tracker_occlusion.npz",
+    from egoscaler_tpu.models.tracker import (
+        SpaTracker,
+        SpaTrackerPredictor,
+        default_asset_path,
+        load_tracker_asset,
     )
+
+    default_path = default_asset_path()
     if kind == "auto":
         kind = (
             "learned"
@@ -171,27 +174,14 @@ def build_tracker(kind: str = "auto", checkpoint: Optional[str] = None):
         )
     if kind == "lk":
         return None
-    import dataclasses as _dc
-
-    from flax import traverse_util
-
-    from egoscaler_tpu.models.tracker import (
-        SpaTracker,
-        SpaTrackerPredictor,
-        TrackerConfig,
-    )
-
-    path = checkpoint or default_path
-    if not os.path.exists(path):
+    asset = load_tracker_asset(checkpoint or default_path)
+    if asset is None:
         raise FileNotFoundError(
-            f"learned tracker weights not found at {path}; run "
-            "scripts/train_tracker.py or pass --tracker_checkpoint"
+            f"learned tracker weights not found at "
+            f"{checkpoint or default_path}; run scripts/train_tracker.py "
+            "or pass --tracker_checkpoint"
         )
-    with np.load(path) as z:
-        params = traverse_util.unflatten_dict(
-            {k: z[k] for k in z.files}, sep="/"
-        )
-    cfg = _dc.replace(TrackerConfig().tiny(), iters=4, window=8)
+    cfg, params = asset
     predictor = SpaTrackerPredictor(SpaTracker(cfg), params)
 
     def tracker(clip, depths, queries):

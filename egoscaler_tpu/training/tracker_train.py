@@ -188,3 +188,116 @@ def occlusion_tracking_batch(rng, t=8, h=64, w=64, q=8, occlude=True):
         "gt_tracks": jnp.asarray(np.stack(gt)),
         "gt_vis": jnp.asarray(np.stack(vis)),
     }
+
+
+def hard_tracking_batch(rng, t=12, h=96, w=96, q=16, n_obj=3,
+                        occ_frac=0.5):
+    """Round-4 scaled-tracker corpus: MULTI-object, textured occluder,
+    longer occlusions, real depth structure.
+
+    n_obj textured patches move at distinct velocities on distinct
+    depth planes over a textured background; queries are split across
+    the objects; a TEXTURED vertical occluder strip (nearest depth)
+    covers the middle ``occ_frac`` of the clip; a query is invisible
+    when the occluder or a NEARER object's extent covers it.  The depth
+    map carries the per-object planes, so the triplane encoder sees
+    genuine z structure (the flat-depth corpora above cannot train the
+    XZ/YZ planes).  This is the training regime the reference's
+    SpaTracker checkpoint saw in spirit: cluttered scenes, entity
+    occlusion, metric depth (spatracker.py:103-733 trains on Kubric).
+    """
+    import numpy as np
+
+    def texture(hh, ww, scale=4):
+        base = rng.normal(size=(max(hh // scale, 2), max(ww // scale, 2), 3))
+        img = np.asarray(
+            jax.image.resize(jnp.asarray(base), (hh, ww, 3), method="bicubic")
+        )
+        return (img - img.min()) / (img.max() - img.min() + 1e-9)
+
+    bg = texture(h, w)
+    z_bg = 3.0 + 0.4 * np.linspace(0, 1, h)[:, None] * np.ones((1, w))
+
+    ph, pw = h // 5, w // 5
+    objs = []
+    for i in range(n_obj):
+        objs.append({
+            "patch": texture(ph, pw, scale=2),
+            "z": float(rng.uniform(1.2, 2.6)),
+            "x0": float(rng.uniform(2, w - pw - 2 - 3.0 * t)),
+            "y0": float(rng.uniform(2, h - ph - 2)),
+            "vx": float(rng.uniform(0.8, 3.0)),
+            "vy": float(rng.uniform(-0.8, 0.8)),
+        })
+    objs.sort(key=lambda o: -o["z"])  # paint far -> near
+
+    # queries split across objects (local patch coordinates)
+    per = [q // n_obj + (1 if i < q % n_obj else 0) for i in range(n_obj)]
+    q_obj, q_loc = [], []
+    for i, n in enumerate(per):
+        q_obj.extend([i] * n)
+        q_loc.append(np.stack([
+            rng.uniform(2, pw - 2, n), rng.uniform(2, ph - 2, n)
+        ], axis=1))
+    q_obj = np.asarray(q_obj)
+    q_loc = np.concatenate(q_loc).astype(np.float32)
+
+    occ_w = w // 3
+    occ_tex = texture(h, occ_w, scale=3)
+    # center the strip on a tracked object's mid-clip position so the
+    # occlusion actually happens (random placement mostly misses)
+    tgt = objs[int(rng.integers(0, n_obj))]
+    mid_x = tgt["x0"] + tgt["vx"] * (t / 2) + pw / 2
+    occ_x = int(np.clip(mid_x - occ_w / 2, 0, w - occ_w))
+    occ_lo = int(round(t * (0.5 - occ_frac / 2)))
+    occ_hi = int(round(t * (0.5 + occ_frac / 2)))
+
+    clip, depths, gt, vis = [], [], [], []
+    for ti in range(t):
+        frame = bg.copy()
+        depth = z_bg.copy()
+        boxes = []  # (x, y, z) extents after painting, near-last
+        for o in objs:
+            px = int(round(o["x0"] + o["vx"] * ti))
+            py = int(round(o["y0"] + o["vy"] * ti))
+            px = np.clip(px, 0, w - pw)
+            py = np.clip(py, 0, h - ph)
+            frame[py:py + ph, px:px + pw] = o["patch"]
+            depth[py:py + ph, px:px + pw] = o["z"]
+            boxes.append((px, py, o["z"]))
+        occluded_frame = occ_lo <= ti < occ_hi
+        if occluded_frame:
+            frame[:, occ_x:occ_x + occ_w] = occ_tex
+            depth[:, occ_x:occ_x + occ_w] = 0.8
+
+        gx = np.empty(q, np.float32)
+        gy = np.empty(q, np.float32)
+        gz = np.empty(q, np.float32)
+        v = np.ones(q, bool)
+        for k in range(q):
+            o = objs[q_obj[k]]
+            x = q_loc[k, 0] + np.clip(
+                o["x0"] + o["vx"] * ti, 0, w - pw
+            )
+            y = q_loc[k, 1] + np.clip(
+                o["y0"] + o["vy"] * ti, 0, h - ph
+            )
+            gx[k], gy[k], gz[k] = x, y, o["z"]
+            # hidden by a NEARER object's extent?
+            for (bx, by, bz) in boxes:
+                if bz < o["z"] and bx <= x < bx + pw and by <= y < by + ph:
+                    v[k] = False
+            if occluded_frame and occ_x <= x < occ_x + occ_w:
+                v[k] = False
+        clip.append(frame)
+        depths.append(depth)
+        gt.append(np.stack([gx, gy, gz], axis=1))
+        vis.append(v)
+
+    return {
+        "clip": jnp.asarray(np.stack(clip), jnp.float32),
+        "depths": jnp.asarray(np.stack(depths), jnp.float32),
+        "queries": jnp.asarray(gt[0]),
+        "gt_tracks": jnp.asarray(np.stack(gt)),
+        "gt_vis": jnp.asarray(np.stack(vis)),
+    }

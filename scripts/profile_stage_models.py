@@ -255,15 +255,9 @@ def profile_tracker(rng, t=16):
     )
 
     print("learned tracker:", flush=True)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "egoscaler_tpu", "assets", "tracker_occlusion.npz",
-    )
-    with np.load(path) as z:
-        params = traverse_util.unflatten_dict(
-            {k: z[k] for k in z.files}, sep="/"
-        )
-    cfg = _dc.replace(TrackerConfig().tiny(), iters=4, window=8)
+    from egoscaler_tpu.models.tracker import load_tracker_asset
+
+    cfg, params = load_tracker_asset()
     model = SpaTracker(cfg)
     h, w, q = 384, 512, 256
     clip = jnp.asarray(

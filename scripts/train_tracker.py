@@ -34,6 +34,18 @@ def main():
     ap.add_argument("--q", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-clips", type=int, default=16)
+    ap.add_argument("--scale", action="store_true",
+                    help="train the DEFAULT TrackerConfig (feat_dim 128, "
+                         "space/time depth 6, window 12 — at/beyond the "
+                         "round-3 verdict's >=4 bar, toward the "
+                         "reference's 12/12, spatracker.py:103-733) on "
+                         "the harder multi-object corpus instead of the "
+                         "tiny config")
+    ap.add_argument("--gate_full", action="store_true",
+                    help="also gate at the reference's full operating "
+                         "point: 80-frame clips at 384x512 with 800 "
+                         "queries through the sliding-window predictor "
+                         "(predictor.py:160-222 caps at 800)")
     args = ap.parse_args()
 
     import jax
@@ -48,13 +60,18 @@ def main():
     from egoscaler_tpu.models.tracker import SpaTracker, TrackerConfig
     from egoscaler_tpu.ops.lucas_kanade import lk_track_clip
     from egoscaler_tpu.training.tracker_train import (
+        hard_tracking_batch,
         make_tracker_train_step,
         occlusion_tracking_batch,
         synthetic_tracking_batch,
     )
 
-    cfg = TrackerConfig().tiny()
-    cfg = dataclasses.replace(cfg, iters=4, window=args.t)
+    if args.scale:
+        cfg = dataclasses.replace(TrackerConfig(), iters=4, window=args.t)
+    else:
+        cfg = dataclasses.replace(
+            TrackerConfig().tiny(), iters=4, window=args.t
+        )
     model = SpaTracker(cfg)
 
     rng = np.random.default_rng(0)
@@ -70,8 +87,16 @@ def main():
 
     t0 = time.time()
     for i in range(args.steps):
-        # mix: 2/3 occlusion clips, 1/3 plain drift clips
-        if i % 3 == 2:
+        if args.scale and i % 2 == 0:
+            # scaled recipe: half the steps on the hard multi-object
+            # corpus (textured occluder, per-object depth planes,
+            # occlusions up to 60% of the clip)
+            batch = hard_tracking_batch(
+                rng, t=args.t, h=args.hw, w=args.hw, q=args.q,
+                n_obj=int(rng.integers(2, 4)),
+                occ_frac=float(rng.uniform(0.3, 0.6)),
+            )
+        elif i % 3 == 2:
             batch = synthetic_tracking_batch(
                 rng, t=args.t, h=args.hw, w=args.hw, q=args.q
             )
@@ -121,6 +146,63 @@ def main():
         "eval_clips": args.eval_clips,
         "config": dataclasses.asdict(cfg),
     }
+
+    if args.scale:
+        # held-out HARD corpus (multi-object + textured occluder)
+        h_learned, h_lk = [], []
+        for _ in range(args.eval_clips):
+            b = hard_tracking_batch(
+                eval_rng, t=args.t, h=args.hw, w=args.hw, q=args.q
+            )
+            gt = np.asarray(b["gt_tracks"])[..., :2]
+            pred = np.asarray(
+                fwd(params, b["clip"], b["depths"], b["queries"])[0]
+            )[..., :2]
+            lk_tracks = np.asarray(
+                lk(b["clip"], b["depths"], b["queries"][:, :2])
+            )
+            tail = slice(2 * args.t // 3, None)
+            h_learned.append(
+                float(np.linalg.norm(pred[tail] - gt[tail], axis=-1).mean())
+            )
+            h_lk.append(float(
+                np.linalg.norm(lk_tracks[tail, :, :2] - gt[tail], axis=-1)
+                .mean()
+            ))
+        result["hard_learned_px_err"] = round(float(np.mean(h_learned)), 3)
+        result["hard_lk_px_err"] = round(float(np.mean(h_lk)), 3)
+
+    if args.gate_full:
+        # reference operating point: 80 frames, 384x512, 800 queries
+        # through the sliding-window predictor (predictor.py:160-222)
+        from egoscaler_tpu.models.tracker import SpaTrackerPredictor
+
+        predictor = SpaTrackerPredictor(model, params)
+        pr_full, lk_full = [], []
+        for _ in range(4):
+            b = hard_tracking_batch(
+                eval_rng, t=80, h=384, w=512, q=800, n_obj=3, occ_frac=0.4
+            )
+            gt = np.asarray(b["gt_tracks"])[..., :2]
+            pred = np.asarray(
+                predictor(b["clip"], b["depths"], b["queries"])
+            )[..., :2]
+            lk_tracks = np.asarray(
+                lk(b["clip"], b["depths"], b["queries"][:, :2])
+            )[..., :2]
+            tail = slice(80 // 2, None)  # post-occlusion half
+            pr_full.append(
+                float(np.linalg.norm(pred[tail] - gt[tail], axis=-1).mean())
+            )
+            lk_full.append(
+                float(np.linalg.norm(
+                    lk_tracks[tail] - gt[tail], axis=-1
+                ).mean())
+            )
+        result["full80_learned_px_err"] = round(float(np.mean(pr_full)), 3)
+        result["full80_lk_px_err"] = round(float(np.mean(lk_full)), 3)
+        result["full80_regime"] = "t=80 384x512 q=800 (predictor windows)"
+
     print(json.dumps(result, indent=2))
 
     assets = os.path.join(REPO, "egoscaler_tpu", "assets")
@@ -131,6 +213,12 @@ def main():
     np.savez_compressed(
         os.path.join(assets, "tracker_occlusion.npz"), **flat
     )
+    # architecture sidecar: load_tracker_asset reads this so every
+    # consumer (stage 7, bench, tests) builds the matching model
+    with open(os.path.join(
+        assets, "tracker_occlusion.config.json"
+    ), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
     with open(os.path.join(REPO, "TRACKER_QUALITY.json"), "w") as f:
         json.dump(result, f, indent=2)
     print("saved", os.path.join(assets, "tracker_occlusion.npz"))

@@ -34,13 +34,10 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def tracker():
-    cfg = dataclasses.replace(TrackerConfig().tiny(), iters=4, window=8)
-    model = SpaTracker(cfg)
-    with np.load(ASSET) as z:
-        params = traverse_util.unflatten_dict(
-            {k: z[k] for k in z.files}, sep="/"
-        )
-    return model, params
+    from egoscaler_tpu.models.tracker import load_tracker_asset
+
+    cfg, params = load_tracker_asset(ASSET)
+    return SpaTracker(cfg), params
 
 
 def test_learned_tracker_beats_lk_under_occlusion(tracker):
