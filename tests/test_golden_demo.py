@@ -147,3 +147,71 @@ def test_render_demo_on_real_assets(tmp_path):
     )
     assert os.path.exists(out)
     assert os.path.getsize(out) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: stage-7 golden artifact (examples/demo_stage7_golden.py
+# runs the geometry half of stage 7 on the real demo pixels and commits
+# docs/demo/golden_trajectory.pkl) — waypoint-schema + OBB-corner-order
+# equality with the shipped reference pickle.
+
+GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs", "demo", "golden_trajectory.pkl",
+)
+
+
+def test_obb_corner_order_matches_reference_demo(demo_traj):
+    """The demo pickle's init_bbox uses Open3D's get_box_points corner
+    order; our geometry.obb._CORNER_SIGNS must reproduce it EXACTLY
+    (pcm_tools.py:106-123 writes np.asarray(obb.get_box_points()))."""
+    from egoscaler_tpu.geometry.obb import _CORNER_SIGNS
+
+    bb = np.asarray(demo_traj["init_bbox"], np.float64)
+    center = bb.mean(axis=0)
+    # recover the box frame from the reference ordering: corners 1,2,3
+    # differ from corner 0 along exactly one axis each
+    ex, ey, ez = bb[1] - bb[0], bb[2] - bb[0], bb[3] - bb[0]
+    # the recovered edges must be mutually orthogonal (it IS a box)
+    assert abs(ex @ ey) < 1e-6 * np.linalg.norm(ex) * np.linalg.norm(ey)
+    assert abs(ex @ ez) < 1e-6
+    assert abs(ey @ ez) < 1e-6
+    axes = np.stack([ex / np.linalg.norm(ex), ey / np.linalg.norm(ey),
+                     ez / np.linalg.norm(ez)], axis=1)
+    half = np.array([np.linalg.norm(ex), np.linalg.norm(ey),
+                     np.linalg.norm(ez)]) / 2.0
+    rebuilt = center + (np.asarray(_CORNER_SIGNS) * half) @ axes.T
+    np.testing.assert_allclose(rebuilt, bb, atol=1e-9)
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN),
+                    reason="golden artifact not generated")
+def test_golden_artifact_schema_matches_demo(demo_traj):
+    """Our stage-7 output pickle carries the reference schema: same key
+    semantics, shapes, rotation-representation consistency, and the
+    same OBB corner-pairing convention."""
+    from egoscaler_tpu.geometry.rotations import quat_from_rotvec
+
+    with open(GOLDEN, "rb") as f:
+        ours = pickle.load(f)
+    assert ours["init_bbox"].shape == (8, 3)
+    n = ours["traj_quat"].shape[0]
+    assert ours["traj_quat"].shape == (n, 7)
+    assert ours["traj_rotvec"].shape == (n, 6)
+    # positions identical across representations (7_get:321-328)
+    np.testing.assert_allclose(
+        ours["traj_quat"][:, :3], ours["traj_rotvec"][:, :3], atol=1e-6
+    )
+    # unit quaternions; rotvec -> quat consistent up to sign
+    q = ours["traj_quat"][:, 3:]
+    np.testing.assert_allclose(
+        np.linalg.norm(q, axis=1), 1.0, atol=1e-4
+    )
+    q2 = np.asarray(quat_from_rotvec(jnp.asarray(ours["traj_rotvec"][:, 3:])))
+    dots = np.abs(np.sum(q * q2, axis=1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+    # corner-pairing convention matches the reference demo box:
+    # corners (i, i+4) are antipodal through the center in both
+    for bb in (ours["init_bbox"], np.asarray(demo_traj["init_bbox"])):
+        c = bb - bb.mean(axis=0)
+        np.testing.assert_allclose(c[:4], -c[4:], atol=1e-5)
