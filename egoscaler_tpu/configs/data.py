@@ -20,6 +20,21 @@ class PCMConfig:
     ransac_distance_mult: float = 1.5
     icp_distance_mult: float = 0.4
     edge_length_check: float = 0.9
+    # ---- beyond-parity robustness knobs (ROBUSTNESS.json) ----
+    # Estimate per-frame depth noise (median |adjacent-pixel depth
+    # diff|) and widen the RANSAC/ICP inlier thresholds by
+    # sigma / (0.25 * voxel), clipped to [1, 4]: at DepthAnything-like
+    # >=5% metric error the jitter (~0.1 m at 2 m) rivals the voxel
+    # size, so the parity thresholds reject the (zero-mean) inliers the
+    # LSQ fit needs to average the noise out.
+    adaptive_noise: bool = False
+    # Identity fallback for a pair whose post-ICP fitness falls below
+    # this floor: one blown-up pair otherwise corrupts every later
+    # frame of the chained trajectory.  The reference's analogue drops
+    # the whole clip when colored ICP throws (pcm_tools.py:49-64 +
+    # 7_get_object_trajectory.py:278-282); identity degrades gracefully
+    # instead (inter-frame ego-motion is small).  0.0 = parity off.
+    fitness_floor: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,6 +107,15 @@ def extract_trajectory(
         srt = jnp.sort(big, axis=1)
         cnt = jnp.sum(valid_q).astype(jnp.int32)
         ratio_depth = srt[:, jnp.maximum(cnt - 1, 0) // 2]  # (T,)
+        # Temporal median-of-3: the ratio corrects slow metric-scale
+        # drift between tracker z and measured depth, so frame-to-frame
+        # it is smooth; under noisy depth the per-frame median is
+        # jitter that multiplies STRAIGHT into the waypoint position
+        # (pos * ratio_depth[t] below).  Edge frames clamp.
+        prev = jnp.concatenate([ratio_depth[:1], ratio_depth[:-1]])
+        nxt = jnp.concatenate([ratio_depth[1:], ratio_depth[-1:]])
+        trip = jnp.stack([prev, ratio_depth, nxt], axis=0)
+        ratio_depth = jnp.median(trip, axis=0)
     else:
         ratio_depth = jnp.sum(ratios * wq, axis=1) / (
             jnp.sum(wq, axis=1).clip(1.0)
@@ -123,6 +132,22 @@ def extract_trajectory(
     # means negligibly while cutting the dominant 2M-point sort 4-16x.
     def prep(frame_and_mask):
         rgbd, bmask = frame_and_mask
+        if cfg.pcm.adaptive_noise:
+            # 3x3 median prefilter on the REGISTRATION depth only:
+            # kills per-pixel zero-mean noise ~3x before voxelization
+            # (the track depth-ratio path stays parity-exact).  Real
+            # monocular-depth error is low-frequency, so on clean
+            # inputs this is a no-op within voxel averaging.
+            d = rgbd[..., 3]
+            dpad = jnp.pad(d, 1, mode="edge")
+            shifts = jnp.stack([
+                dpad[di:di + d.shape[0], dj:dj + d.shape[1]]
+                for di in range(3) for dj in range(3)
+            ])
+            dmed = jnp.median(shifts, axis=0)
+            # holes (depth 0) stay holes
+            dmed = jnp.where(d > 0.0, dmed, 0.0)
+            rgbd = jnp.concatenate([rgbd[..., :3], dmed[..., None]], -1)
         if cloud_stride > 1:
             rgbd = rgbd[::cloud_stride, ::cloud_stride]
             bmask = bmask[::cloud_stride, ::cloud_stride]
@@ -139,6 +164,28 @@ def extract_trajectory(
     clouds = jax.lax.map(prep, (rgbd_seq, bbox_masks), batch_size=bs)
     kp_pts, kp_cols, kp_normals, kp_fpfh, kp_mask, (kp_nb_idx, kp_nb_d2) = clouds
 
+    # ---- per-frame depth-noise estimate (beyond parity; see
+    # PCMConfig.adaptive_noise).  Median |adjacent-pixel depth diff| on
+    # a 4x-strided grid: zero-mean multiplicative noise of fraction f at
+    # depth d gives ~0.95 * f * d here, while a clean surface's slope
+    # contributes millimeters; depth discontinuities are a minority the
+    # median ignores.
+    if cfg.pcm.adaptive_noise:
+        d4 = depth_maps[:, ::4, ::4]
+        dd = jnp.abs(d4[:, :, 1:] - d4[:, :, :-1])
+        ok2 = (d4[:, :, 1:] > 0.0) & (d4[:, :, :-1] > 0.0)
+        flat = jnp.where(ok2, dd, jnp.inf).reshape(t_max, -1)
+        srt = jnp.sort(flat, axis=1)
+        cnt = jnp.sum(ok2.reshape(t_max, -1), axis=1).astype(jnp.int32)
+        sigma = jnp.take_along_axis(
+            srt, (jnp.maximum(cnt, 1) - 1)[:, None] // 2, axis=1
+        )[:, 0]
+        noise_scale = jnp.clip(
+            sigma / (0.25 * cfg.pcm.voxel_size), 1.0, 4.0
+        )
+    else:
+        noise_scale = jnp.ones((t_max,), jnp.float32)
+
     # ---- consecutive-pair registration (7_get:258-282) -----------------
     def register(i):
         # source = frame i+1, target = frame i
@@ -150,9 +197,11 @@ def extract_trajectory(
             kp_pts[i], kp_cols[i], kp_normals[i], kp_fpfh[i], kp_mask[i],
         )
         corr, cval = match_features(sf, sm, tf, tm)
+        pair_scale = 0.5 * (noise_scale[i] + noise_scale[i + 1])
         ransac = ransac_registration(
             sp, tp, corr, cval,
-            distance_threshold=cfg.pcm.voxel_size * cfg.pcm.ransac_distance_mult,
+            distance_threshold=cfg.pcm.voxel_size
+            * cfg.pcm.ransac_distance_mult * pair_scale,
             num_hypotheses=num_hypotheses,
             edge_length_check=cfg.pcm.edge_length_check,
             key=jax.random.fold_in(key, i),
@@ -160,12 +209,19 @@ def extract_trajectory(
         icp = colored_icp(
             sp, sc, sm, tp, tc, tn, tm,
             init_transform=ransac.transformation,
-            distance_threshold=cfg.pcm.voxel_size * cfg.pcm.icp_distance_mult,
+            distance_threshold=cfg.pcm.voxel_size
+            * cfg.pcm.icp_distance_mult * pair_scale,
             gradient_radius=cfg.pcm.voxel_size * 2.0,
             max_iterations=cfg.pcm.icp_max_iters,
             target_neighbors=(kp_nb_idx[i], kp_nb_d2[i]),
         )
-        return icp.transformation, icp.fitness
+        tf_out = icp.transformation
+        if cfg.pcm.fitness_floor > 0.0:
+            # graceful per-pair identity fallback (PCMConfig doc)
+            tf_out = jnp.where(
+                icp.fitness >= cfg.pcm.fitness_floor, tf_out, jnp.eye(4)
+            )
+        return tf_out, icp.fitness
 
     pair_bs = None if map_batch <= 1 else min(map_batch, t_max - 1)
     pair_tf, pair_fit = jax.lax.map(

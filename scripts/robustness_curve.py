@@ -45,8 +45,19 @@ def main():
     )
     keep = np.round(tracks[..., :2]).astype(int)
 
-    def run(fr, tr, robust=False):
+    def run(fr, tr, robust=False, hardened=False):
         cfg = dataclasses.replace(small_cfg(), ratio_robust=robust)
+        if hardened:
+            # the round-4 noise-hardened configuration (PCMConfig doc):
+            # depth median prefilter + adaptive inlier thresholds +
+            # per-pair identity fallback + median depth-ratio
+            cfg = dataclasses.replace(
+                small_cfg(), ratio_robust=True,
+                pcm=dataclasses.replace(
+                    small_cfg().pcm, adaptive_noise=True,
+                    fitness_floor=0.25,
+                ),
+            )
         res = extract_trajectory(
             jnp.asarray(fr), jnp.asarray(masks), jnp.asarray(tr),
             jnp.asarray(t), F, PP, cfg=cfg,
@@ -67,6 +78,26 @@ def main():
             "perturbation": f"depth_noise_{nf:g}",
             **run(perturb_depth(frames, rng, noise_frac=nf), tracks),
         })
+    # hardened arm (adaptive_noise + fitness_floor + ratio_robust):
+    # the realistic monocular-depth operating point is >=5% error —
+    # GATED: the 5% row must stay under 0.03 m ADE (VERDICT r3 item 5)
+    hardened_rows = []
+    for nf in (0.03, 0.05):
+        noisy = perturb_depth(
+            frames, np.random.default_rng(1000 + int(nf * 100)),
+            noise_frac=nf,
+        )
+        hardened_rows.append({
+            "perturbation": f"depth_noise_{nf:g}_hardened",
+            **run(noisy, tracks, hardened=True),
+        })
+        rows.append(hardened_rows[-1])
+    rows.append({"perturbation": "clean_hardened",
+                 **run(frames, tracks, hardened=True)})
+    gate = hardened_rows[-1]
+    assert gate["ok"] and gate["ade"] < 0.03, (
+        f"5%-depth-noise hardened gate FAILED: {gate}"
+    )
     for qs in (0.01, 0.02):
         rows.append({
             "perturbation": f"depth_quant_{qs:g}m",
@@ -111,8 +142,10 @@ def main():
         "platform": jax.devices()[0].platform,
         "metric": "ADE [m] vs ground-truth object trajectory; rot_err = max |rotvec|",
         "notes": [
-            "depth noise is multiplicative gaussian; 3% is the supported envelope, "
-            "5% (10 cm at scene depth) breaks registration — recorded, not gated",
+            "depth noise is multiplicative gaussian; parity config breaks at 5% "
+            "(10 cm at scene depth); the *_hardened rows (adaptive_noise + "
+            "fitness_floor=0.25 + ratio_robust, round 4) are GATED: 5% must stay "
+            "under 0.03 m ADE",
             "holes keep track pixels valid: the reference samples depth at track "
             "pixels with no validity filter (7_get:224), that bias is shared",
             "median_ratio rows use DataConfig.ratio_robust=True (beyond parity)",
