@@ -242,6 +242,66 @@ class Hot3dDataPathProvider:
             self.sequence_folder, "umetrack_hand_pose_trajectory.jsonl"
         )
 
+    @property
+    def camera_models_file(self) -> str:
+        """PathProvider.py:105-106."""
+        return os.path.join(self.sequence_folder, "camera_models.json")
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraModel:
+    """One entry of camera_models.json (Quest sequences ship it; the
+    reference loads it through projectaria's device calibration and
+    test_QuestDataProvider asserts the FISHEYE624 types).  Projection
+    params layout: [fx, fy, cx, cy, k0..k5, p0, p1, s0..s3]."""
+
+    label: str
+    model_type: str            # e.g. "CameraModelType.FISHEYE624"
+    width: int
+    height: int
+    projection_params: Tuple[float, ...]
+    T_device_camera: Pose3d
+    max_solid_angle: float = 0.0
+
+    def fisheye(self):
+        """ops/undistort.Fisheye624 for this calibration (fx==fy on all
+        shipped Quest/Aria calibrations; asserted)."""
+        from egoscaler_tpu.ops.undistort import Fisheye624
+
+        p = self.projection_params
+        assert abs(p[0] - p[1]) < 1e-3 * max(abs(p[0]), 1.0), (
+            "anisotropic focal lengths unsupported", p[:2]
+        )
+        return Fisheye624(
+            f=p[0], cx=p[2], cy=p[3], ks=tuple(p[4:10]),
+            ps=(p[10], p[11]), ss=tuple(p[12:16]),
+        )
+
+
+def load_camera_models(path: str) -> Optional[Dict[str, CameraModel]]:
+    """camera_models.json -> {label: CameraModel}, None when absent."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        entries = json.load(f)
+    out: Dict[str, CameraModel] = {}
+    for e in entries:
+        tdc = e["T_Device_Camera"]
+        qw, qx, qy, qz = tdc["quaternion_wxyz"]
+        pose = Pose3d.from_quat_wxyz(qw, qx, qy, qz, tdc["translation_xyz"])
+        out[e["label"]] = CameraModel(
+            label=e["label"],
+            model_type=e["projectionModelType"],
+            width=int(e["imageWidth"]),
+            height=int(e["imageHeight"]),
+            projection_params=tuple(
+                float(v) for v in e["projectionParams"]
+            ),
+            T_device_camera=pose,
+            max_solid_angle=float(e.get("maxSolidAngle", 0.0)),
+        )
+    return out
+
 
 class Hot3dDataProvider:
     """Facade bundling per-sequence providers (dataset_api.py:54-240)."""
@@ -278,6 +338,9 @@ class Hot3dDataProvider:
         )
         self.umetrack_hand_data_provider = streams.load_hand_poses(
             self.paths.umetrack_hand_pose_trajectory_file
+        )
+        self.camera_models = load_camera_models(
+            self.paths.camera_models_file
         )
         self.mask_data: Dict[str, "streams.MaskData"] = {}
         if os.path.isdir(self.paths.masks_folder):

@@ -159,3 +159,39 @@ def test_quest3_headset_trajectory():
     np.testing.assert_allclose(
         pose.rotation @ pose.rotation.T, np.eye(3), atol=1e-5
     )
+
+
+def test_quest3_camera_models():
+    """camera_models.json loads without projectaria: 2 FISHEYE624 SLAM
+    cameras with valid extrinsics, and the fisheye projection maps the
+    optical axis to the principal point (test_QuestDataProvider's
+    calibration-type assertions, minus the VRS image leg)."""
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.data.eval.providers import load_camera_models
+
+    models = load_camera_models(os.path.join(QUEST, "camera_models.json"))
+    assert models is not None and len(models) == 2
+    assert set(models) == {"camera-slam-left", "camera-slam-right"}
+    for cam in models.values():
+        assert cam.model_type == "CameraModelType.FISHEYE624"
+        assert (cam.width, cam.height) == (1280, 1024)
+        assert len(cam.projection_params) == 16
+        r = cam.T_device_camera.rotation
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+        fe = cam.fisheye()
+        uv = np.asarray(fe.project(jnp.asarray([[0.0, 0.0, 1.0]])))
+        np.testing.assert_allclose(uv[0], [fe.cx, fe.cy], atol=1e-5)
+        # off-axis rays land inside the sensor
+        uv2 = np.asarray(fe.project(jnp.asarray([[0.2, 0.1, 1.0]])))
+        assert 0 <= uv2[0, 0] < cam.width and 0 <= uv2[0, 1] < cam.height
+
+
+def test_facade_exposes_camera_models():
+    from egoscaler_tpu.data.eval.providers import Hot3dDataProvider
+
+    dp = Hot3dDataProvider(QUEST)
+    assert dp.camera_models is not None and len(dp.camera_models) == 2
+    # Aria sample ships no camera_models.json in this snapshot
+    dpa = Hot3dDataProvider(ARIA)
+    assert dpa.camera_models is None
