@@ -54,6 +54,15 @@ def main():
                          "flattened npz, f32) for downstream runs — e.g. "
                          "the speculative-decoding bench needs a TRAINED "
                          "target model for meaningful acceptance rates")
+    ap.add_argument("--init_ckpt", default="",
+                    help="flattened best_params.npz to initialize from "
+                         "(resume after a relay wedge killed a run "
+                         "mid-fine-tune; pair with --align_epochs 0 and "
+                         "--resume_align_json to keep the align history)")
+    ap.add_argument("--resume_align_json", default="",
+                    help="prior --out artifact whose align_history is "
+                         "carried into this run (only with "
+                         "--align_epochs 0)")
     ap.add_argument("--locate_mix", type=float, default=0.0,
                     help="fraction of locate samples MIXED into the "
                          "fine-tune corpus (multi-task alternative to the "
@@ -126,14 +135,25 @@ def main():
             partition_params,
         )
 
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(42),
-            sample["input_ids"], sample["point_clouds"],
-        )
-        variables = jax.tree_util.tree_map(
-            lambda a: a.astype(jnp.bfloat16)
-            if a.dtype == jnp.float32 else a, variables
-        )
+        if args.init_ckpt:
+            # resume path: the saved tree IS full_params() (same
+            # structure as model.init's variables), f16 on disk
+            from flax import traverse_util
+
+            with np.load(args.init_ckpt) as z:
+                flat = {k: jnp.asarray(z[k], jnp.bfloat16)
+                        for k in z.files}
+            variables = traverse_util.unflatten_dict(flat, sep="/")
+            print(f"initialized params from {args.init_ckpt}", flush=True)
+        else:
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(42),
+                sample["input_ids"], sample["point_clouds"],
+            )
+            variables = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, variables
+            )
         trainable, frozen = partition_params(
             variables, frozen_patterns(tcfg)
         )
@@ -151,6 +171,17 @@ def main():
     t0 = time.time()
     align_history = []
     history = []
+    resumed_from = ""
+    if (args.resume_align_json and args.align_epochs == 0
+            and os.path.exists(args.resume_align_json)):
+        with open(args.resume_align_json) as f:
+            prev = json.load(f)
+        align_history = prev.get("align_history", [])
+        resumed_from = (f"{args.init_ckpt} (align_history carried from "
+                        f"{args.resume_align_json}; prior run wedged on a "
+                        f"relay RPC mid-fine-tune)")
+        print(f"carried {len(align_history)} align epochs from "
+              f"{args.resume_align_json}", flush=True)
 
     def dump(complete):
         # incremental artifact: a host reboot mid-run leaves the
@@ -279,6 +310,7 @@ def main():
     }
     out = {
         "complete": True,
+        "resumed_from": resumed_from,
         "transfer_gate": gate,
         "task": "language-grounded trajectory generation "
                 "(verbs + 'move A onto B' transfers -> 6DoF)",
