@@ -65,7 +65,11 @@ def _kv8_kernel(
     ks_ref,     # (1, Tb, KVH) f32
     v_ref,      # (1, Tb, KVH, D) int8
     vs_ref,     # (1, Tb, KVH) f32
-    msk_ref,    # (1, Tb) bool (causal & kv_mask, True = attend)
+    msk_ref,    # (1, 1, Tb) int32 (causal & kv_mask, 1 = attend) — the
+                # (B, 1, T) layout keeps the block's last-two dims
+                # (1, Tb) legal under the Mosaic (8, 128) tiling rule; a
+                # (B, T) mask with (1, Tb) blocks is NOT lowerable
+                # (sublane block 1 over array dim B)
     o_ref,      # (1, KVH, G, D)
     acc_ref,    # VMEM (KVH, G, D) f32
     m_ref,      # VMEM (KVH, G) f32
@@ -82,28 +86,36 @@ def _kv8_kernel(
         m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    msk = msk_ref[0]  # (Tb,)
+    # f32 arithmetic masking: Mosaic only supports non-no-op minor-dim
+    # insertion ([:, None]) for 32-bit types, so a bool/int8 mask cannot
+    # be broadcast against (Tb, G) scores inside the kernel
+    fm = msk_ref[0, 0].astype(jnp.float32)  # (Tb,) 1 = attend
     ksc = ks_ref[0]   # (Tb, KVH)
     vsc = vs_ref[0]
-    # static loop over KV heads: 2-D dots keep Mosaic on the MXU path
+    # static loop over KV heads: 2-D dots keep Mosaic on the MXU path.
+    # Operands stay f32: mixed bf16-operand/f32-result dot_generals trip
+    # a Mosaic vector.broadcast verifier bug at these (Tb, D) x (G, D)
+    # shapes, and decode is HBM-bound (the int8 cache stream), so the
+    # f32 MXU rate is irrelevant here.
     for h in range(kvh):
-        kh = k_ref[0, :, h, :].astype(jnp.bfloat16)   # (Tb, D)
-        qh = q_ref[0, h].astype(jnp.bfloat16)         # (G, D)
+        kh = k_ref[0, :, h, :].astype(jnp.float32)    # (Tb, D)
+        qh = q_ref[0, h]                              # (G, D) f32
         s = jax.lax.dot_general(
             kh, qh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Tb, G)
         s = s * ksc[:, h][:, None]
-        s = jnp.where(msk[:, None], s, _NEG_INF)
+        # fm==1 keeps s; fm==0 drives it to -1e30 (NEG_INF)
+        s = s * fm[:, None] + (fm[:, None] - 1.0) * (-_NEG_INF)
         m_prev = m_ref[h]                              # (G,)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
         alpha = jnp.exp(m_prev - m_new)                # (G,)
         # masked rows multiply to exactly 0 (an all-masked block would
         # otherwise make exp(s - m) == 1 with m still at -inf)
-        p = jnp.exp(s - m_new[None, :]) * msk[:, None].astype(jnp.float32)
+        p = jnp.exp(s - m_new[None, :]) * fm[:, None]
         l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=0)
-        pv = (p * vsc[:, h][:, None]).astype(jnp.bfloat16)  # (Tb, G)
-        vh = v_ref[0, :, h, :].astype(jnp.bfloat16)         # (Tb, D)
+        pv = p * vsc[:, h][:, None]                   # (Tb, G) f32
+        vh = v_ref[0, :, h, :].astype(jnp.float32)    # (Tb, D)
         acc_ref[h] = acc_ref[h] * alpha[:, None] + jax.lax.dot_general(
             pv, vh, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -151,7 +163,7 @@ def decode_attention_kv8(
     v8p = _pad_to(v8, 1, block_t)
     ksp = _pad_to(k_scale.astype(jnp.float32), 1, block_t)
     vsp = _pad_to(v_scale.astype(jnp.float32), 1, block_t)
-    mp = _pad_to(mask, 1, block_t)  # pads False
+    mp = _pad_to(mask.astype(jnp.int32)[:, None, :], 2, block_t)  # pads 0
     tp = k8p.shape[1]
     nt = tp // block_t
 
@@ -164,7 +176,7 @@ def decode_attention_kv8(
             pl.BlockSpec((1, block_t, kvh), lambda bi, ti: (bi, ti, 0)),
             pl.BlockSpec((1, block_t, kvh, d), lambda bi, ti: (bi, ti, 0, 0)),
             pl.BlockSpec((1, block_t, kvh), lambda bi, ti: (bi, ti, 0)),
-            pl.BlockSpec((1, block_t), lambda bi, ti: (bi, ti)),
+            pl.BlockSpec((1, 1, block_t), lambda bi, ti: (bi, 0, ti)),
         ],
         out_specs=pl.BlockSpec((1, kvh, g, d), lambda bi, ti: (bi, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, kvh, g, d), q.dtype),
