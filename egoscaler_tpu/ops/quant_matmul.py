@@ -56,7 +56,7 @@ def dequantize_weight(q: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def _wq_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, nk: int):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
@@ -83,43 +83,52 @@ def _pad_to(a: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_k"))
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "block_k"))
 def quant_matmul(
     x: jax.Array,          # (M, K) bf16/f32 activations
     w_q: jax.Array,        # (K, N) int8 weights
     scale: jax.Array,      # (N,) f32 per-output-channel scales
     *,
+    block_m: int = 512,
     block_n: int = 512,
     block_k: int = 512,
 ) -> jax.Array:
     """x @ dequant(w_q, scale), streaming int8 from HBM.  Returns (M, N)
-    in x.dtype with f32 accumulation."""
+    in x.dtype with f32 accumulation.
+
+    M is blocked too: decode (M~8) runs one M block as before, but the
+    PREFILL path reuses this kernel at M = batch*seq (thousands) — an
+    unblocked (M, block_n) f32 accumulator there blows the ~16 MB
+    scoped-VMEM limit (measured: 26 MB at M=4352, N-block 512)."""
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2 and scale.shape == (n,), (x.shape, w_q.shape, scale.shape)
     block_k = min(block_k, max(8, k))
     block_n = min(block_n, max(128, n))
+    block_m = min(block_m, max(8, m))
 
-    xp = _pad_to(_pad_to(x, 0, 8), 1, block_k)
+    xp = _pad_to(_pad_to(x, 0, block_m), 1, block_k)
     wp = _pad_to(_pad_to(w_q, 0, block_k), 1, block_n)
     sp = _pad_to(scale.astype(jnp.float32)[None, :], 1, block_n)  # (1, Np)
     mp, kp = xp.shape
     np_ = wp.shape[1]
-    nn, nk = np_ // block_n, kp // block_k
+    nm, nn, nk = mp // block_m, np_ // block_n, kp // block_k
 
     out = pl.pallas_call(
         functools.partial(_wq_kernel, nk=nk),
-        grid=(nn, nk),
+        grid=(nm, nn, nk),
         in_specs=[
-            pl.BlockSpec((mp, block_k), lambda ni, ki: (0, ki)),
-            pl.BlockSpec((block_k, block_n), lambda ni, ki: (ki, ni)),
-            pl.BlockSpec((1, block_n), lambda ni, ki: (0, ni)),
+            pl.BlockSpec((block_m, block_k), lambda mi, ni, ki: (mi, ki)),
+            pl.BlockSpec((block_k, block_n), lambda mi, ni, ki: (ki, ni)),
+            pl.BlockSpec((1, block_n), lambda mi, ni, ki: (0, ni)),
         ],
-        out_specs=pl.BlockSpec((mp, block_n), lambda ni, ki: (0, ni)),
+        out_specs=pl.BlockSpec(
+            (block_m, block_n), lambda mi, ni, ki: (mi, ni)
+        ),
         out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
-        scratch_shapes=[pltpu.VMEM((mp, block_n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
     )(xp, wp, sp)
