@@ -12,20 +12,28 @@ CKPT=GROUNDING_CKPT/best_params.npz
 run () {  # run <artifact> <cmd...>
   local out=$1; shift
   if [ -s "$out" ]; then echo "== $out exists, skip"; return 0; fi
-  echo "== $out: $*"
-  timeout 2400 "$@"
-  local rc=$?
-  echo "== $out exit=$rc"
-  if [ "$rc" -ne 0 ]; then
+  local attempt rc
+  for attempt in 1 2; do
+    echo "== $out (attempt $attempt): $*"
+    # tpu_watchdog kills a step whose CPU time freezes ~600 s — the
+    # axon relay wedge (a blocked RPC that never returns) otherwise
+    # burns the full timeout doing nothing.
+    bash scripts/tpu_watchdog.sh 2400 "$@"
+    rc=$?
+    echo "== $out exit=$rc"
+    [ "$rc" -eq 0 ] && break
+    [ -f "$out" ] && [ ! -s "$out" ] && rm -f "$out"
+    if [ "$rc" -eq 125 ] && [ "$attempt" -eq 1 ]; then
+      echo "== relay wedge — waiting 60s, retrying once"
+      sleep 60
+      continue
+    fi
     # a timeout-killed (124) or crashed TPU step may hold its axon claim
     # for a while; a quick relaunch can silently deadlock (CLAUDE.md).
-    # Remove a partial artifact so the resume-skip never treats it as
-    # done, wait long, and abort the chain for manual triage.
-    [ -f "$out" ] && [ ! -s "$out" ] && rm -f "$out"
     echo "== chain ABORTED at $out (rc=$rc); wait >=30s before the next TPU process"
     sleep 30
     exit "$rc"
-  fi
+  done
   sleep 5  # let the axon claim release before the next process
 }
 

@@ -1,0 +1,35 @@
+#!/bin/bash
+# tpu_watchdog.sh TIMEOUT_S CMD...
+#
+# Run CMD with two kill conditions:
+#   exit 124 — TIMEOUT_S wall-clock exceeded;
+#   exit 125 — CMD's cumulative CPU time frozen for ~600 s (the axon
+#              relay wedge signature: a blocked RPC that never returns;
+#              CLAUDE.md "one TPU process at a time" notes).  Legitimate
+#              device waits (per-call fetches, compiles) bump host CPU
+#              within minutes; 20 identical 30 s samples do not.
+t_max=$1; shift
+"$@" &
+pid=$!
+start=$(date +%s)
+last_ticks=-1; frozen=0
+while kill -0 "$pid" 2>/dev/null; do
+  sleep 30
+  now=$(date +%s)
+  if [ $((now - start)) -ge "$t_max" ]; then
+    echo "watchdog: ${t_max}s timeout — killing $pid" >&2
+    kill -9 "$pid" 2>/dev/null; wait "$pid" 2>/dev/null; exit 124
+  fi
+  ticks=$(awk '{print $14+$15}' "/proc/$pid/stat" 2>/dev/null)
+  [ -z "$ticks" ] && break
+  if [ "$ticks" = "$last_ticks" ]; then
+    frozen=$((frozen + 1))
+  else
+    frozen=0; last_ticks=$ticks
+  fi
+  if [ "$frozen" -ge 20 ]; then
+    echo "watchdog: CPU time frozen ~600s (relay wedge) — killing $pid" >&2
+    kill -9 "$pid" 2>/dev/null; wait "$pid" 2>/dev/null; exit 125
+  fi
+done
+wait "$pid"
