@@ -34,7 +34,7 @@ run () {  # run <artifact> <cmd...>
     sleep 30
     exit "$rc"
   done
-  sleep 5  # let the axon claim release before the next process
+  sleep 20  # let the axon claim release before the next process
 }
 
 # ckpt-dependent steps: bench_quant_decode/bench_speculative silently

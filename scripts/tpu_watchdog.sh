@@ -12,7 +12,7 @@ t_max=$1; shift
 "$@" &
 pid=$!
 start=$(date +%s)
-last_ticks=-1; frozen=0
+ref_ticks=-1; frozen=0
 while kill -0 "$pid" 2>/dev/null; do
   sleep 30
   now=$(date +%s)
@@ -22,13 +22,20 @@ while kill -0 "$pid" 2>/dev/null; do
   fi
   ticks=$(awk '{print $14+$15}' "/proc/$pid/stat" 2>/dev/null)
   [ -z "$ticks" ] && break
-  if [ "$ticks" = "$last_ticks" ]; then
-    frozen=$((frozen + 1))
+  # a wedged process still collects the odd stray tick, so compare
+  # against a sliding reference: <1 s of CPU (100 ticks) across 24
+  # consecutive 30 s samples (12 min) = wedged.  Long device-side
+  # compiles idle the host too — the 12 min bar stays above every
+  # compile observed on this chip, and a falsely killed step is
+  # retried by the caller anyway.
+  if [ "$ref_ticks" -lt 0 ]; then ref_ticks=$ticks; fi
+  if [ $((ticks - ref_ticks)) -ge 100 ]; then
+    ref_ticks=$ticks; frozen=0
   else
-    frozen=0; last_ticks=$ticks
+    frozen=$((frozen + 1))
   fi
-  if [ "$frozen" -ge 20 ]; then
-    echo "watchdog: CPU time frozen ~600s (relay wedge) — killing $pid" >&2
+  if [ "$frozen" -ge 24 ]; then
+    echo "watchdog: <1s CPU progress in 12 min (relay wedge) — killing $pid" >&2
     kill -9 "$pid" 2>/dev/null; wait "$pid" 2>/dev/null; exit 125
   fi
 done
