@@ -53,8 +53,10 @@ run SERVING_BENCH_INT8.json \
 run SPECULATIVE_BENCH.json \
   python scripts/bench_speculative.py --engine --quant --target_ckpt "$CKPT" \
     --out SPECULATIVE_BENCH.json
+# bs4: the 12.6 GiB bf16 7B + bs8 activations exceed 15.75 GiB HBM
+# (measured 17.17 G); bs4 is the regime RUN_7B_CHIP.json validated
 run QUANT_BENCH_7B.json \
-  python scripts/bench_quant_decode.py --size 7b --kv8 \
+  python scripts/bench_quant_decode.py --size 7b --kv8 --bs 4 \
     --out QUANT_BENCH_7B.json
 run RUN_7B_TRAIN_INT8.json \
   python scripts/run_7b_chip.py --mode train --train_bs 4 --quant_trunk \
