@@ -201,8 +201,22 @@ def main():
     int8_gib = quantized_param_bytes(qparams) / 2**30
     results["int8_params_gib"] = round(int8_gib, 3)
 
-    t_int8 = timed(f"int8 generate bs{bs} x{new_tokens}",
-                   lambda: gen_fn(qmodel)(qparams), iters=args.iters)
+    if use_auto:
+        # same treatment as the bf16 arm: without AUTO input layouts the
+        # 7B decode inserts in-program transposed copies of every weight
+        # each step (measured 0.118x vs bf16 — the copies, not the
+        # kernel, dominate)
+        print("compiling 7B int8 generate (auto layouts) ...", flush=True)
+        compiled_q, fmts_q = compile_with_auto_layouts(
+            lambda p: jnp.sum(generate(qmodel, p, ids, mask, pc, key, gen)[0]),
+            qparams,
+        )
+        qparams = relayout_tree(qparams, fmts_q[0])
+        t_int8 = timed(f"int8 generate bs{bs} x{new_tokens}",
+                       lambda: compiled_q(qparams), iters=args.iters)
+    else:
+        t_int8 = timed(f"int8 generate bs{bs} x{new_tokens}",
+                       lambda: gen_fn(qmodel)(qparams), iters=args.iters)
     results["int8"] = {
         "ms": round(t_int8 * 1e3, 1),
         "tok_s": round(bs * new_tokens / t_int8, 1),
@@ -210,8 +224,11 @@ def main():
     }
     results["speedup"] = round(t_bf16 / t_int8, 3)
 
-    # ---- int8 weights + int8 KV cache (the full serving composition)
-    if args.kv8:
+    # ---- int8 weights + int8 KV cache (the full serving composition).
+    # Skipped under AUTO layouts (7B): qparams is relayouted for the
+    # plain-int8 program, and KV8 is a measured regression at flagship
+    # anyway (QUANT_BENCH.json) — not worth a second 6.5 GiB relayout.
+    if args.kv8 and not use_auto:
         qkv8cfg = dataclasses.replace(
             cfg, llama=dataclasses.replace(
                 cfg.llama, weight_quant="int8", kv_quant="int8"
