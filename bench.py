@@ -65,6 +65,14 @@ Two operating points are measured and reported in the ONE JSON line:
 
 Set EGOSCALER_BENCH_FULL=1 to measure ONLY the 80-frame arm (iteration);
 default runs both.
+
+Driver-timeout hardening (round 5, VERDICT r4 weak #4): the 80-frame
+headline arm runs FIRST and its JSON line is printed the moment it
+completes; the 16-frame arm then runs and the final combined line is
+re-printed with both operating points.  A driver timeout mid-16f still
+leaves a parseable headline line (round 4 lost both numbers to rc 124).
+A persistent XLA compilation cache (.jax_cache/, gitignored) makes the
+second process-level run skip the ~2-4 min of compiles.
 """
 import json
 import os
@@ -72,6 +80,21 @@ import sys
 import time
 
 import numpy as np
+
+
+def enable_compile_cache():
+    """Persistent compilation cache across bench invocations."""
+    import jax
+
+    try:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # cache is an optimization, never a failure
+        print(f"compile cache unavailable: {e}", file=sys.stderr)
 
 
 def make_bench_clip(rng, t, h, w):
@@ -431,6 +454,7 @@ def main():
     rng = np.random.default_rng(0)
     fast = os.environ.get("EGOSCALER_BENCH_FAST") == "1"
     full_only = os.environ.get("EGOSCALER_BENCH_FULL") == "1"
+    enable_compile_cache()
 
     if fast:
         print("bench stages:", file=sys.stderr)
@@ -450,23 +474,23 @@ def main():
     # 0.01 clips/s (79 Open3D pairs + 80 depth frames dominate).
     base_16f, base_80f = 0.05, 0.01
 
-    total_16f = None
-    if not full_only:
-        total_16f = run_regime(rng, t=16, q=256)
+    # headline arm FIRST, emitted immediately (driver-timeout hardening)
     # 80-frame arm: 4 clips pipelined (each carries 5x the frames; 8x80f
     # inputs would approach the HBM budget without changing the answer)
     total_80f = run_regime(rng, t=80, q=800, clips=4)
-
     out = {
         "metric": "full_clip80_clips_per_sec_per_chip",
         "value": round(1.0 / total_80f, 3),
         "unit": "clips/s",
         "vs_baseline": round(1.0 / total_80f / base_80f, 2),
     }
-    if total_16f is not None:
+    print(json.dumps(out), flush=True)
+
+    if not full_only:
+        total_16f = run_regime(rng, t=16, q=256)
         out["clips_per_sec_16f"] = round(1.0 / total_16f, 3)
         out["vs_baseline_16f"] = round(1.0 / total_16f / base_16f, 2)
-    print(json.dumps(out))
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
