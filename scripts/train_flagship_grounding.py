@@ -67,7 +67,24 @@ def main():
                     help="fraction of locate samples MIXED into the "
                          "fine-tune corpus (multi-task alternative to the "
                          "two-stage recipe)")
+    ap.add_argument("--snapshot_dir", default="",
+                    help="if set, write a FULL train-state snapshot "
+                         "(params + Adam moments + schedule step, "
+                         "training/snapshot.py) after every epoch; with "
+                         "--resume a wedge-killed run continues the SAME "
+                         "schedule instead of warm-restarting the "
+                         "optimizer (the failure mode blamed for round "
+                         "4's transfer-gate miss)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from --snapshot_dir's snapshot if one "
+                         "exists (no-op otherwise)")
     args = ap.parse_args()
+    if args.init_ckpt and not (args.unfreeze_lm and not args.tiny):
+        # ADVICE r4: --init_ckpt was silently ignored outside the
+        # unfreeze_lm non-tiny branch — fail loudly instead
+        ap.error("--init_ckpt is only consumed with --unfreeze_lm and "
+                 "without --tiny; as given it would silently train from "
+                 "random init")
 
     import jax
     if args.tiny:
@@ -168,10 +185,33 @@ def main():
         )
     step_fn = make_train_step(model, tx, lay.prompt_len, 1)
 
+    # ---- full-state crash resume (snapshot carries optimizer + step)
+    snap_path = (os.path.join(args.snapshot_dir, "train_state.npz")
+                 if args.snapshot_dir else "")
+    if snap_path:
+        os.makedirs(args.snapshot_dir, exist_ok=True)
+    resume_meta = None
+    if args.resume:
+        assert snap_path, "--resume requires --snapshot_dir"
+        if os.path.exists(snap_path):
+            from egoscaler_tpu.training.snapshot import peek_snapshot_meta
+
+            resume_meta = peek_snapshot_meta(snap_path)
+            print(f"resuming from snapshot: {resume_meta}", flush=True)
+        else:
+            print("no snapshot found — starting fresh", flush=True)
+
     t0 = time.time()
     align_history = []
     history = []
     resumed_from = ""
+    if resume_meta and os.path.exists(args.out):
+        # carry the per-epoch history the wedged run already dumped
+        with open(args.out) as f:
+            prev = json.load(f)
+        align_history = prev.get("align_history", [])
+        history = prev.get("history", [])
+        resumed_from = f"snapshot {snap_path} at {resume_meta}"
     if (args.resume_align_json and args.align_epochs == 0
             and os.path.exists(args.resume_align_json)):
         with open(args.resume_align_json) as f:
@@ -201,7 +241,8 @@ def main():
                 },
                 "wall_s": round(time.time() - t0, 1),
             }, f, indent=2)
-    if args.align_epochs > 0:
+    in_ft = resume_meta is not None and resume_meta.get("phase") == "ft"
+    if args.align_epochs > 0 and not in_ft:
         # ---- stage 1 analogue: dense name->position alignment ----
         from egoscaler_tpu.training.trainer import TrainState, make_optimizer
         import dataclasses as _dc
@@ -222,8 +263,16 @@ def main():
             state.trainable, state.frozen, tx_a.init(state.trainable),
             jnp.asarray(0, jnp.int32),
         )
+        a_start = 0
+        if resume_meta is not None and resume_meta.get("phase") == "align":
+            from egoscaler_tpu.training.snapshot import load_train_snapshot
+
+            state, _ = load_train_snapshot(snap_path, state)
+            a_start = int(resume_meta["epoch"])
+            print(f"resumed ALIGN at epoch {a_start}, step "
+                  f"{int(state.step)} (schedule intact)", flush=True)
         a_losses = []
-        for epoch in range(args.align_epochs):
+        for epoch in range(a_start, args.align_epochs):
             for batch in loc_train.batches(args.bs, shuffle=True):
                 batch = {k: jnp.asarray(v) for k, v in batch.items()
                          if k in ("input_ids", "attention_mask",
@@ -241,15 +290,41 @@ def main():
             print(f"align epoch {epoch}: {rec} ({time.time() - t0:.0f}s)",
                   flush=True)
             dump(complete=False)
-        # fresh optimizer + schedule for the trajectory fine-tune
+            if snap_path:
+                from egoscaler_tpu.training.snapshot import (
+                    save_train_snapshot,
+                )
+
+                save_train_snapshot(
+                    snap_path, state,
+                    meta={"phase": "align", "epoch": epoch + 1},
+                )
+        # fresh optimizer + schedule for the trajectory fine-tune (the
+        # PLANNED stage transition — distinct from a crash restart)
         state = TrainState(
             state.trainable, state.frozen, tx.init(state.trainable),
             jnp.asarray(0, jnp.int32),
         )
+        if snap_path:
+            from egoscaler_tpu.training.snapshot import save_train_snapshot
+
+            save_train_snapshot(
+                snap_path, state, meta={"phase": "ft", "epoch": 0}
+            )
 
     best = {"ade": float("inf")}
+    ft_start = 0
+    if in_ft:
+        from egoscaler_tpu.training.snapshot import load_train_snapshot
+
+        state, _ = load_train_snapshot(snap_path, state)
+        ft_start = int(resume_meta["epoch"])
+        if "best_ade" in resume_meta:
+            best = {"ade": float(resume_meta["best_ade"])}
+        print(f"resumed FT at epoch {ft_start}, step {int(state.step)} "
+              f"(optimizer + schedule intact)", flush=True)
     losses = []
-    for epoch in range(args.epochs):
+    for epoch in range(ft_start, args.epochs):
         for batch in tds.batches(args.bs, shuffle=True):
             batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if k in ("input_ids", "attention_mask", "point_clouds")}
@@ -298,6 +373,13 @@ def main():
                     )
                     print(f"  saved best params (ade {rec['ade']:.4f}) to "
                           f"{args.save_dir}", flush=True)
+        if snap_path:
+            from egoscaler_tpu.training.snapshot import save_train_snapshot
+
+            meta = {"phase": "ft", "epoch": epoch + 1}
+            if np.isfinite(best.get("ade", float("inf"))):
+                meta["best_ade"] = round(float(best["ade"]), 6)
+            save_train_snapshot(snap_path, state, meta=meta)
 
     # transfer-margin gate (VERDICT r3 weak #8): the two-stage-grounding
     # headline claims endpoint transfer beats the repeat-wp0 baseline;
