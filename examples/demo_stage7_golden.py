@@ -197,6 +197,23 @@ def main():
             print(f"learned tracker on real pixels: {px:.2f} px mean err")
             summary["tracker_px_err"] = round(px, 3)
 
+            # tracker -> registration END-TO-END: stage 7 consumes the
+            # LEARNED tracks instead of ground truth — the reference
+            # wiring, where SpaTracker output feeds the trajectory
+            # extractor directly (7_get_object_trajectory.py:163-230)
+            res_t = ex(jnp.asarray(frames), jnp.asarray(masks),
+                       jnp.asarray(out.astype(np.float32)))
+            if bool(res_t.ok):
+                tq = np.asarray(res_t.traj_quat)[:t]
+                rec_t = tq[:, :3] - tq[0, :3]
+                ade_t = float(np.linalg.norm(rec_t - gt, axis=1).mean())
+                summary["ade_tracker_seeded_m"] = round(ade_t, 4)
+                print(f"tracker-seeded stage-7 ADE {ade_t * 100:.2f} cm "
+                      f"(GT-seeded {ade * 100:.2f} cm)")
+            else:
+                summary["ade_tracker_seeded_m"] = None
+                print("tracker-seeded clip rejected by stage-7 guards")
+
     with open(os.path.join(OUT, "golden_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
 

@@ -121,7 +121,9 @@ def main():
     n_params = None
 
     results = {
-        "model": "PointLLM-7B (LLaMA-7B trunk + PointBERT), bf16",
+        "model": ("PointLLM-7B (LLaMA-7B trunk + PointBERT), "
+                  + ("int8 trunk (weight_quant=int8_trunk) + bf16 head"
+                     if args.quant_trunk else "bf16")),
         "device": str(jax.devices()[0]),
         "prompt_len": lay.prompt_len,
         "answer_len": lay.answer_len,

@@ -46,6 +46,18 @@ def main():
                          "point: 80-frame clips at 384x512 with 800 "
                          "queries through the sliding-window predictor "
                          "(predictor.py:160-222 caps at 800)")
+    ap.add_argument("--snapshot", default="",
+                    help="path to a crash-resume snapshot npz (params + "
+                         "opt state + step), written every "
+                         "--snapshot_every steps; if it exists at "
+                         "startup, training resumes from it (round 4 "
+                         "lost this run to three relay wedges)")
+    ap.add_argument("--snapshot_every", type=int, default=300)
+    ap.add_argument("--asset_dir", default="",
+                    help="where to write tracker_occlusion.npz + config "
+                         "sidecar (default: the package assets dir; "
+                         "smoke tests should point elsewhere so they "
+                         "don't clobber the committed asset)")
     args = ap.parse_args()
 
     import jax
@@ -85,8 +97,44 @@ def main():
     opt_state = tx.init(params)
     step = make_tracker_train_step(model, tx)
 
+    def save_snap(path, params, opt_state, i):
+        flat = traverse_util.flatten_dict(
+            jax.tree_util.tree_map(np.asarray, params), sep="/"
+        )
+        arrs = {"p/" + k: v for k, v in flat.items()}
+        for j, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+            arrs[f"o/{j:05d}"] = np.asarray(leaf)
+        arrs["step"] = np.asarray(i)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrs)
+        os.replace(tmp, path)
+
+    start_step = 0
+    if args.snapshot and os.path.exists(args.snapshot):
+        with np.load(args.snapshot) as z:
+            pflat = {k[2:]: jnp.asarray(z[k]) for k in z.files
+                     if k.startswith("p/")}
+            params = traverse_util.unflatten_dict(pflat, sep="/")
+            leaves = [jnp.asarray(z[k])
+                      for k in sorted(k for k in z.files
+                                      if k.startswith("o/"))]
+            opt_state = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(opt_state), leaves
+            )
+            start_step = int(z["step"]) + 1
+        # fresh-but-equivalent data stream (the synthetic corpus is
+        # seed-generated; replaying i batches to realign would cost
+        # minutes of host time for no quality difference)
+        rng = np.random.default_rng(1000 + start_step)
+        print(f"resumed tracker training at step {start_step} "
+              f"(optimizer + schedule intact)", flush=True)
+
     t0 = time.time()
-    for i in range(args.steps):
+    for i in range(start_step, args.steps):
+        if (args.snapshot and i > start_step
+                and i % args.snapshot_every == 0):
+            save_snap(args.snapshot, params, opt_state, i - 1)
         if args.scale and i % 2 == 0:
             # scaled recipe: half the steps on the hard multi-object
             # corpus (textured occluder, per-object depth planes,
@@ -205,7 +253,7 @@ def main():
 
     print(json.dumps(result, indent=2))
 
-    assets = os.path.join(REPO, "egoscaler_tpu", "assets")
+    assets = args.asset_dir or os.path.join(REPO, "egoscaler_tpu", "assets")
     os.makedirs(assets, exist_ok=True)
     flat = traverse_util.flatten_dict(
         jax.tree_util.tree_map(np.asarray, params), sep="/"
