@@ -157,11 +157,19 @@ def lemmatize_word(w: str) -> str:
     return w
 
 
-def lemmatize_description(desc: str) -> str:
-    """nlp_tools.py:10-18: cleanup + per-token lemmatization."""
+def _clean_tokens(desc: str):
+    """Shared cleanup + tokenization (nlp_tools.py:10-13 regexes plus
+    n't-expansion, which spaCy's tokenizer does for the reference:
+    "doesn't" -> "does" + "n't" with lemma "not")."""
     desc = re.sub(r"#. |\t|\n", "", re.sub(r"  ", " ", desc)).lower()
     desc = re.sub(r"\.\.", ".", desc)
-    tokens = re.findall(r"\w+|[^\w\s]", desc)
+    desc = re.sub(r"n't\b", " not", desc)
+    return re.findall(r"\w+|[^\w\s]", desc)
+
+
+def lemmatize_description(desc: str) -> str:
+    """nlp_tools.py:10-18: cleanup + per-token lemmatization."""
+    tokens = _clean_tokens(desc)
     return " ".join(lemmatize_word(t) if t.isalpha() else t for t in tokens)
 
 
@@ -174,9 +182,17 @@ _PARTICLES = {
     "up", "down", "off", "out", "on", "in", "over", "away", "back",
     "around", "aside", "apart", "together", "open", "closed",
 }
-_STOP_OBJECT = {
+# Bare pronoun/placeholder objects: the reference RETURNS these from
+# extract_verb_obj ('it' passes through, nlp_tools.py:20-34); consumers
+# that need a groundable name (stage 1 candidate filter, stage-3
+# annotator) filter against this set themselves.
+PRONOUN_OBJECTS = frozenset({
     "it", "them", "him", "her", "something", "that", "this", "there",
-}
+})
+_DET_WORDS = frozenset({
+    "the", "a", "an", "his", "her", "its", "some", "one", "two",
+    "another", "this", "that",
+})
 
 
 # Action-verb lemma lexicon used to LOCATE the verb inside a narration
@@ -221,13 +237,19 @@ _ADVERBS_SKIP = {
 }
 
 
-def _parse_verb_phrase(words, vi):
+def _parse_verb_phrase(words, vi, surf=None):
     """Parse verb(+particle)+object starting at the action verb ``vi``.
 
     Returns (verb_with_particle, obj_words, stop_word, next_i) where
     ``stop_word`` is the preposition/conjunction that ended the object
     scan (None if the sentence ended) and ``next_i`` indexes the token
     after that stop.
+
+    With ``surf`` (index-aligned surface tokens), gerund noun-compound
+    modifiers keep their surface form: spaCy tags 'cutting' in 'cutting
+    board' NOUN/compound so the reference's lemma keeps the -ing, while
+    our context-free per-token lemmatizer would strip it.  A non-head
+    object token whose surface ends in -ing is restored.
     """
     verb = lemmatize_word(words[vi])
     i = vi + 1
@@ -236,6 +258,7 @@ def _parse_verb_phrase(words, vi):
         particle = words[i]
         i += 1
     obj_words = []
+    obj_idx = []
     stop_word = None
     while i < len(words):
         lw = words[i].lower()
@@ -244,22 +267,44 @@ def _parse_verb_phrase(words, vi):
             i += 1
             break
         obj_words.append(lw)
+        obj_idx.append(i)
         i += 1
     # "pick it up": a trailing particle after the object joins the verb.
     if obj_words and particle is None and obj_words[-1] in _PARTICLES:
         particle = obj_words.pop()
+        obj_idx.pop()
+    if surf is not None:
+        for j, idx in enumerate(obj_idx[:-1]):  # modifiers, not the head
+            if idx < len(surf) and surf[idx].endswith("ing"):
+                obj_words[j] = surf[idx]
     full_verb = f"{verb} {particle}" if particle else verb
     return full_verb, obj_words, stop_word, i
 
 
 def _clean_obj(obj_words) -> Optional[str]:
+    """Strip determiners; empty -> None.  Bare pronouns PASS THROUGH
+    (round-5 parity fix: the reference returns 'it' as an object,
+    extract_verb_obj at nlp_tools.py:20-34 only strips articles) — the
+    groundability filter moved to the consumers (stage 1, stage-3
+    annotator), which need a namable object."""
     obj = re.sub(_DETERMINERS, "", " ".join(obj_words)).strip()
-    if not obj or obj in _STOP_OBJECT:
-        return None
-    return obj
+    return obj or None
 
 
-def extract_svos(desc: str):
+def _aligned_surface(words, surface):
+    """Surface tokens index-aligned with the lemma tokens, or None.
+
+    Alignment holds exactly when per-token lemmatization of the cleaned
+    surface reproduces the lemma string (always true when callers pass
+    lemmatize_description(raw) + raw)."""
+    toks = _clean_tokens(surface)
+    lem = [lemmatize_word(t) if t.isalpha() else t for t in toks]
+    if " ".join(lem).strip().rstrip(".").split() == list(words):
+        return toks[: len(words)]
+    return None
+
+
+def extract_svos(desc: str, surface: Optional[str] = None):
     """All (verb, object) pairs from a lemmatized description.
 
     Rule-grammar analogue of the reference's findSVOs
@@ -270,6 +315,17 @@ def extract_svos(desc: str):
     an immediately following particle joins it ('pick up'); the object
     is the next noun phrase up to a preposition/conjunction,
     determiners stripped.
+
+    ``surface`` (the raw pre-lemmatization description) enables the
+    morphology-dependent rules the lemma stream cannot decide alone:
+    agentless-passive vs progressive ('is picked up with tongs' vs 'is
+    walking with tongs' — both 'be X with Y' after lemmatization, told
+    apart by the -ing suffix, spaCy's auxpass analogue) and gerund
+    noun-compound preservation ('cutting board').
+
+    Negated verbs are marked '!verb' exactly like the reference
+    (findSVOs at suject_verb_object_extraction.py:302-318 prefixes
+    '!' when verbNegated) — a 'not'/'never' before the verb.
 
     Passives role-swap like the reference is_pas branch (findSVOs
     appends (object, verb, subject) and extract_verb_obj reads slot 2):
@@ -289,21 +345,38 @@ def extract_svos(desc: str):
     words = desc.strip().rstrip(".").split()
     if len(words) < 2:
         return []
+    surf = _aligned_surface(words, surface) if surface is not None else None
     # Locate the verb: first action lemma in the window (position 0
-    # included for imperatives); fall back to the token after the
-    # subject, mirroring the reference's 'I' substitution.
+    # included for imperatives); a candidate right after a determiner is
+    # a NOUN ('the cook ...', 'the saw ...') and is skipped — spaCy
+    # resolves this with POS tags, a determiner never precedes a verb.
+    # Fall back to the token after the subject, mirroring the
+    # reference's 'I' substitution.
     vi = None
     for i in range(0, min(len(words), _VERB_SCAN_WINDOW)):
+        if i > 0 and words[i - 1] in _DET_WORDS:
+            continue
         if lemmatize_word(words[i]) in _ACTION_VERBS:
             vi = i
             break
     if vi is None:
         vi = 1
-    verb1, obj1_words, stop1, next_i = _parse_verb_phrase(words, vi)
+    verb1, obj1_words, stop1, next_i = _parse_verb_phrase(words, vi, surf)
+    # negation marking (findSVOs:302-318 '!'): 'not'/'never' before the
+    # verb — covers 'does not pick', "doesn't pick" (n't expanded by
+    # _clean_tokens), 'never picks'
+    if any(w in ("not", "never") for w in words[:vi]):
+        verb1 = "!" + verb1
 
-    # ---- passive: "the knife be pick up by c" / "the onion be be cut"
+    # ---- passive: "the knife be pick up by c" / "the onion be be cut";
+    # with surface morphology also the agentless form with a trailing
+    # instrument ("the knife be pick up with tong") — a participle, where
+    # a progressive ("c be walk with ...") keeps its -ing suffix
+    participle = (surf is not None and vi < len(surf)
+                  and not surf[vi].endswith("ing"))
     if (vi > 0 and words[vi - 1] == "be" and not obj1_words
-            and (stop1 == "by" or stop1 is None)):
+            and (stop1 == "by" or stop1 is None
+                 or (participle and stop1 in _NP_STOPS))):
         subj_words = [w for w in words[:vi - 1] if w != "be"]
         subj = _clean_obj(subj_words)
         if subj is not None and subj not in _SUBJECT_PRONOUNS:
@@ -317,7 +390,7 @@ def extract_svos(desc: str):
         while j < len(words) and words[j] in _ADVERBS_SKIP:
             j += 1
         if j < len(words) and lemmatize_word(words[j]) in _ACTION_VERBS:
-            verb2, obj2_words, _, _ = _parse_verb_phrase(words, j)
+            verb2, obj2_words, _, _ = _parse_verb_phrase(words, j, surf)
             obj2 = _clean_obj(obj2_words)
             if svos[0][1] is None and obj2 is not None:
                 # reference shared-object semantics: conjV's object is
@@ -327,26 +400,29 @@ def extract_svos(desc: str):
     return svos
 
 
-def extract_verb_obj(desc: str) -> Tuple[Optional[str], Optional[str]]:
+def extract_verb_obj(
+    desc: str, surface: Optional[str] = None
+) -> Tuple[Optional[str], Optional[str]]:
     """nlp_tools.py:20-34: (verb, object) from a lemmatized description.
 
     The reference replaces the leading subject token with 'I', runs
     findSVOs, and reads svos[0]; this returns extract_svos(desc)[0]
     likewise.  Returns (lemmatized verb [+ particle], object) — both
-    None when no verb is found, object None when absent or a bare
-    pronoun.
+    None when no verb is found, object None when absent.  Negated verbs
+    are '!'-prefixed and bare-pronoun objects pass through, both
+    matching the reference (round-5 parity fixes); pass ``surface``
+    (the raw description) to enable the morphology-dependent passive /
+    gerund-compound rules.
 
-    Documented divergences from the spaCy extractor (tests/
+    Remaining documented divergences from the spaCy extractor (tests/
     test_svo_corpus.py pins each): verbs carry their particle
-    (reference returns the bare verb), bare-pronoun objects map to None
-    (reference returns 'it'), negation is not marked with '!',
-    verb-only sentences still return the verb (reference returns
-    (None, None) for 2-tuple SVs), agentless passives with a trailing
-    instrument ('is picked up with tongs') still lose the object, and a
-    subject noun that is also an action lemma ('the cook ...') wins the
-    verb scan.
+    (reference returns the bare verb), verb-only sentences still return
+    the verb (reference returns (None, None) for 2-tuple SVs), and
+    without ``surface`` the agentless-passive-with-instrument and
+    gerund-compound cases stay degraded (lemma stream alone cannot
+    decide them).
     """
-    svos = extract_svos(desc)
+    svos = extract_svos(desc, surface=surface)
     if not svos:
         return None, None
     return svos[0]

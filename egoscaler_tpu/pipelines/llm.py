@@ -79,10 +79,17 @@ class RuleBasedAnnotator:
         """Stage-3 judgment: (object name, rigid?) per description."""
         from egoscaler_tpu.data.tools.nlp_tools import extract_verb_obj
 
+        from egoscaler_tpu.data.tools.nlp_tools import (
+            PRONOUN_OBJECTS, lemmatize_description,
+        )
+
         out = []
         for d in descriptions:
-            _, obj = extract_verb_obj("i " + d.lower())
-            if obj is None or obj in _NON_OBJECTS:
+            raw = "i " + d.lower()
+            _, obj = extract_verb_obj(
+                lemmatize_description(raw), surface=raw
+            )
+            if obj is None or obj in _NON_OBJECTS or obj in PRONOUN_OBJECTS:
                 out.append((None, False))
                 continue
             head = obj.split()[-1]

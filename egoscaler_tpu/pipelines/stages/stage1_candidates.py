@@ -37,8 +37,16 @@ def build_candidate(dataset_name: str, take: Dict, desc_info: Dict,
         return None
     desc = format_description(raw_desc)
     lemma_desc = lemmatize_description(desc)
-    verb, obj = extract_verb_obj(lemma_desc)
+    verb, obj = extract_verb_obj(lemma_desc, surface=desc)
     if verb is None or obj is None:
+        return None
+    # extract_verb_obj now has reference parity: negated verbs come back
+    # '!'-marked and bare pronouns pass through as objects.  Neither is
+    # a usable manipulation candidate — a negation is a non-action and a
+    # pronoun cannot seed the stage-6 text-conditioned detector.
+    from egoscaler_tpu.data.tools.nlp_tools import PRONOUN_OBJECTS
+
+    if verb.startswith("!") or obj in PRONOUN_OBJECTS:
         return None
     action_description = re.sub(r"\s+\.", ".", re.sub("c ", "", lemma_desc))
     file_name = f"{video_uid}_{round(timestamp, 3)}"
