@@ -207,7 +207,13 @@ def main():
             "ms": round(st * 1e3, 2),
             "tok_s": round(spec_tokens / st, 1),
             "speedup": round(bt / st, 3),
+            # bf16 on TPU is equivalence, not bit-identity: near-tie
+            # argmax flips between the (k+1)-token verify and 1-token
+            # decode tilings (0.19%/token teacher-forced, no ADE
+            # impact — DIAG_DECODE.json, serving/speculative.py)
             "token_exact_vs_baseline": exact,
+            "token_agreement_vs_baseline": round(float(jnp.mean(
+                (souts[0] == bouts[0]).astype(jnp.float32))), 4),
             "chunks": int(stats["chunks"]),
             "mean_accepted_per_chunk": round(
                 int(stats["drafts_accepted"]) / chunks, 3),
