@@ -138,7 +138,97 @@ def _pad_to(a: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t",))
+def _kv8_kernel_fold(
+    qbd_ref,    # (1, KVH*D, KVH) f32 — block-diagonal q (pre-scaled)
+    e_ref,      # (KVH, KVH*D) f32 — head->lane-span expansion constant
+    k_ref,      # (1, Tb, KVH*D) int8 (head dims pre-flattened)
+    ks_ref,     # (1, Tb, KVH) f32
+    v_ref,      # (1, Tb, KVH*D) int8
+    vs_ref,     # (1, Tb, KVH) f32
+    msk_ref,    # (1, 1, Tb) int32 (1 = attend)
+    o_ref,      # (1, 1, KVH*D)
+    acc_ref,    # VMEM (1, KVH*D) f32
+    m_ref,      # VMEM (1, KVH) f32
+    l_ref,      # VMEM (1, KVH) f32
+    *,
+    nt: int,
+):
+    """MXU-folded KV8 flash-decode (G=1 / MHA path).
+
+    The v1 kernel loops KV heads and issues (Tb, D) x (G=1, D) dots —
+    matrix-VECTOR products that leave the MXU idle and made KV8 a 0.53x
+    whole-generate regression at flagship (QUANT_BENCH r5).  This
+    variant folds all heads into three MXU-shaped matmuls per block:
+
+      scores  (Tb, KVH)    = K2 (Tb, KVH*D) @ QBD (KVH*D, KVH)
+              where QBD is block-diagonal (head h's D-slice lives in
+              column h), so cross-head terms vanish by construction;
+      p_exp   (Tb, KVH*D)  = P (Tb, KVH) @ E (KVH, KVH*D)
+              with E[h, h*D+d] = 1 broadcasting per-head weights across
+              that head's lane span;
+      acc     (1, KVH*D)  += ones (1, Tb) @ (p_exp * V2 * vs_exp)
+              — the weighted-value reduction as a matmul, no
+              cross-sublane reduce.
+
+    All operands stay f32 (ROUND5.md Mosaic note: mixed bf16/f32
+    dot_generals trip a vector.broadcast verifier bug); decode is
+    HBM-bound on the int8 cache stream, so MXU rate is not the limit.
+    """
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    e = e_ref[...]                                   # (KVH, KVH*D)
+    fm = msk_ref[0, 0].astype(jnp.float32)           # (Tb,)
+    kf = k_ref[0].astype(jnp.float32)                # (Tb, KVH*D)
+    s = jax.lax.dot_general(
+        kf, qbd_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (Tb, KVH)
+    s = s * ks_ref[0]
+    s = s * fm[:, None] + (fm[:, None] - 1.0) * (-_NEG_INF)
+
+    m_prev = m_ref[0]                                # (KVH,)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0))
+    alpha = jnp.exp(m_prev - m_new)                  # (KVH,)
+    p = jnp.exp(s - m_new[None, :]) * fm[:, None]    # (Tb, KVH)
+    ones_row = jnp.ones((1, s.shape[0]), jnp.float32)
+    l_ref[...] = l_ref[...] * alpha[None, :] + jax.lax.dot_general(
+        ones_row, p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (1, KVH)
+    pv = p * vs_ref[0]                               # (Tb, KVH)
+    p_exp = jax.lax.dot_general(
+        pv, e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (Tb, KVH*D)
+    vf = v_ref[0].astype(jnp.float32)                # (Tb, KVH*D)
+    contrib = jax.lax.dot_general(
+        ones_row, p_exp * vf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (1, KVH*D)
+    alpha_exp = jax.lax.dot_general(
+        alpha[None, :], e, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                # (1, KVH*D)
+    acc_ref[...] = acc_ref[...] * alpha_exp + contrib
+    m_ref[...] = m_new[None, :]
+
+    @pl.when(ti == nt - 1)
+    def _finish():
+        l_exp = jax.lax.dot_general(
+            jnp.maximum(l_ref[...], 1e-30), e_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (1, KVH*D)
+        o_ref[0] = (acc_ref[...] / l_exp).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "impl"))
 def decode_attention_kv8(
     q: jax.Array,        # (B, H, D) single-token queries
     k8: jax.Array,       # (B, T, KVH, D) int8 (one layer's cache slice)
@@ -148,14 +238,27 @@ def decode_attention_kv8(
     mask: jax.Array,     # (B, T) bool — causal & kv_mask, True = attend
     *,
     block_t: int = 256,
+    impl: str = "auto",  # "fold" (MXU, MHA only) | "heads" (v1) | "auto"
 ) -> jax.Array:
     """Flash-decode over an int8 KV cache.  Returns (B, H, D) in q.dtype
     with f32 softmax statistics (same numerics contract as
-    ops/attention.xla_attention at s=1)."""
+    ops/attention.xla_attention at s=1).
+
+    impl="fold" routes MHA (kvh == h) through the block-diagonal-folded
+    MXU kernel (_kv8_kernel_fold); "heads" is the per-head-loop v1 (the
+    only option under GQA); "auto" picks fold for MHA.
+    """
     b, h, d = q.shape
     _, t, kvh, _ = k8.shape
     assert h % kvh == 0, (h, kvh)
     g = h // kvh
+
+    use_fold = (impl == "fold") or (impl == "auto" and g == 1)
+    if use_fold:
+        assert g == 1, "fold impl supports MHA only (kvh == h)"
+        return _decode_kv8_fold(
+            q, k8, k_scale, v8, v_scale, mask, block_t=block_t
+        )
 
     qs = (q.astype(jnp.float32) * (d ** -0.5)).reshape(b, kvh, g, d)
     block_t = min(block_t, max(128, t))
@@ -190,6 +293,64 @@ def decode_attention_kv8(
         ),
         interpret=_interpret(),
     )(qs, k8p, ksp, v8p, vsp, mp)
+    return out.reshape(b, h, d)
+
+
+def _decode_kv8_fold(
+    q: jax.Array,        # (B, H, D) — MHA (kvh == h)
+    k8: jax.Array,       # (B, T, H, D) int8
+    k_scale: jax.Array,  # (B, T, H) f32
+    v8: jax.Array,       # (B, T, H, D) int8
+    v_scale: jax.Array,  # (B, T, H) f32
+    mask: jax.Array,     # (B, T) bool
+    *,
+    block_t: int,
+) -> jax.Array:
+    b, h, d = q.shape
+    t = k8.shape[1]
+    hd = h * d
+
+    qs = q.astype(jnp.float32) * (d ** -0.5)          # (B, H, D)
+    eye = jnp.eye(h, dtype=jnp.float32)
+    # QBD[b, h*D+d, g] = qs[b, h, d] * eye[h, g] — block-diagonal
+    qbd = (qs[:, :, :, None] * eye[:, None, :]).reshape(b, hd, h)
+    # E[h, h*D+d] = 1: per-head lane-span broadcast (kron(eye, ones_D))
+    e_mat = jnp.repeat(eye, d, axis=1)                # (H, H*D)
+
+    block_t = min(block_t, max(128, t))
+    # head dims flatten OUTSIDE the kernel (free relayout in XLA;
+    # in-kernel minor-dim reshapes are a Mosaic hazard)
+    k2 = _pad_to(k8.reshape(b, t, hd), 1, block_t)
+    v2 = _pad_to(v8.reshape(b, t, hd), 1, block_t)
+    ksp = _pad_to(k_scale.astype(jnp.float32), 1, block_t)
+    vsp = _pad_to(v_scale.astype(jnp.float32), 1, block_t)
+    mp = _pad_to(mask.astype(jnp.int32)[:, None, :], 2, block_t)
+    nt = k2.shape[1] // block_t
+
+    out = pl.pallas_call(
+        functools.partial(_kv8_kernel_fold, nt=nt),
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec((1, hd, h), lambda bi, ti: (bi, 0, 0)),
+            pl.BlockSpec((h, hd), lambda bi, ti: (0, 0)),
+            pl.BlockSpec((1, block_t, hd), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, block_t, h), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, block_t, hd), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, block_t, h), lambda bi, ti: (bi, ti, 0)),
+            pl.BlockSpec((1, 1, block_t), lambda bi, ti: (bi, 0, ti)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, hd), lambda bi, ti: (bi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((1, hd), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+            pltpu.VMEM((1, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qbd, e_mat, k2, ksp, v2, vsp, mp)
     return out.reshape(b, h, d)
 
 

@@ -158,3 +158,35 @@ def test_engine_kv8_matches_offline_generate():
         n = int(olens[i])
         want = np.asarray(otoks[i])[: min(n + 1, gen.max_new_tokens)]
         np.testing.assert_array_equal(results[rid], want)
+
+
+def test_fold_impl_matches_heads_impl():
+    """The MXU-folded MHA kernel (impl='fold') computes the same
+    attention as the per-head-loop kernel (impl='heads') — both f32
+    accumulation over the same block schedule."""
+    import jax.numpy as jnp
+
+    from egoscaler_tpu.ops.kv8_attention import (
+        decode_attention_kv8, quantize_kv,
+    )
+
+    rng = np.random.default_rng(7)
+    b, t, h, d = 2, 300, 4, 32  # non-multiple T exercises padding
+    k = rng.normal(size=(b, t, h, d)).astype(np.float32)
+    v = rng.normal(size=(b, t, h, d)).astype(np.float32)
+    q = rng.normal(size=(b, h, d)).astype(np.float32)
+    k8, ks = quantize_kv(jnp.asarray(k))
+    v8, vs = quantize_kv(jnp.asarray(v))
+    mask = np.ones((b, t), bool)
+    mask[1, 150:] = False
+    out_heads = decode_attention_kv8(
+        jnp.asarray(q), k8, ks, v8, vs, jnp.asarray(mask),
+        block_t=128, impl="heads",
+    )
+    out_fold = decode_attention_kv8(
+        jnp.asarray(q), k8, ks, v8, vs, jnp.asarray(mask),
+        block_t=128, impl="fold",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_heads), np.asarray(out_fold), atol=2e-5, rtol=2e-5
+    )
