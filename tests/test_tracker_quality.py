@@ -77,3 +77,15 @@ def test_learned_tracker_visibility_flags_occlusion(tracker):
         pytest.skip("degenerate clip: no occlusion happened")
     # predicted visibility must separate occluded from visible on average
     assert vis[gt_vis].mean() > vis[~gt_vis].mean()
+
+
+def test_shipped_asset_is_scaled_config(tracker):
+    """Round-5 gate: the committed asset must be the SCALED architecture
+    (VERDICT r4 carried item — the tiny feat_dim-32 depth-1/1 asset is
+    no longer acceptable).  The sidecar config is what every consumer
+    (stage 7, bench, golden demo) builds."""
+    model, _ = tracker
+    cfg = model.cfg
+    assert cfg.feat_dim >= 128, cfg
+    assert cfg.space_depth >= 4 and cfg.time_depth >= 4, cfg
+    assert cfg.window >= 12, cfg
