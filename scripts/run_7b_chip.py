@@ -282,10 +282,11 @@ def main():
         if "train" not in results:
             results["train"] = {
                 "fits": False,
-                "note": "single-chip 7B frozen-recipe training exceeds "
-                        "15.75 GiB HBM at every batch size; matches the "
-                        "reference's multi-GPU requirement — see "
-                        "FEASIBILITY_7B.json for the 8-device ZeRO-1 "
+                "attempted_batch_sizes": candidates,
+                "note": "single-chip 7B frozen-recipe training did not "
+                        f"fit at the attempted batch sizes {candidates}; "
+                        "matches the reference's multi-GPU requirement — "
+                        "see FEASIBILITY_7B.json for the 8-device ZeRO-1 "
                         "mesh compile (6.6 GiB/device)",
             }
 
