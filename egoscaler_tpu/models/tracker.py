@@ -188,6 +188,23 @@ def _sample_patches(fm_t: jax.Array, xy_t: jax.Array, radius: int) -> jax.Array:
     )
 
 
+def _use_pallas_gather(q: int) -> bool:
+    """Route the correlation gather through the Pallas DMA kernel
+    (ops/patch_gather.py) on TPU.  The XLA gather lowering runs at
+    ~100 GB/s and dominated the scaled tracker (ROUND6.md item 4);
+    EGOSCALER_PATCH_GATHER={pallas,xla} forces either path."""
+    import os
+
+    mode = os.environ.get("EGOSCALER_PATCH_GATHER", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    from egoscaler_tpu.ops.patch_gather import GROUP
+
+    return jax.default_backend() == "tpu" and q % GROUP == 0
+
+
 def corr_features(
     fmaps: jax.Array,    # (T, h, w, C) feature maps
     track_feat: jax.Array,  # (Q, C) template features
@@ -203,9 +220,45 @@ def corr_features(
     if pyramid is None:
         pyramid = build_pyramid(fmaps, levels)
     inv_sqrt_c = 1.0 / jnp.sqrt(track_feat.shape[-1]).astype(fmaps.dtype)
+    t, q_ = coords.shape[:2]
+    use_pallas = _use_pallas_gather(q_)
     outs = []
     for lvl, fm in enumerate(pyramid):
         scale = 2 ** lvl
+
+        if use_pallas and fm.shape[-1] % 128 == 0:
+            from egoscaler_tpu.ops.patch_gather import ROWS, corr_patches_tpu
+
+            h, w = fm.shape[1:3]
+            d = 2 * radius + 2
+            pad = radius + 1
+            # extra bottom rows: the kernel DMAs ROWS rows from the
+            # 8-ALIGNED origin below sy (Mosaic sublane alignment), so
+            # the map needs slack past the last legal origin
+            fmp = jnp.pad(
+                fm, ((0, 0), (pad, pad + ROWS), (pad, pad), (0, 0)),
+                mode="edge",
+            )
+            xy = coords / scale                      # (T, Q, 2)
+            base = jnp.floor(xy)
+            frac = (xy - base).astype(jnp.float32)
+            sx = jnp.clip(
+                base[..., 0].astype(jnp.int32) - radius + pad,
+                0, w + 2 * pad - d,
+            )
+            sy = jnp.clip(
+                base[..., 1].astype(jnp.int32) - radius + pad,
+                0, h + 2 * pad - d,
+            )
+            corr = corr_patches_tpu(
+                fmp, sy.reshape(-1), sx.reshape(-1),
+                frac.reshape(-1, 2), track_feat, radius=radius,
+            )  # (T*Q, k, k) f32
+            k = 2 * radius + 1
+            outs.append(
+                corr.reshape(t, q_, k * k).astype(fmaps.dtype) * inv_sqrt_c
+            )
+            continue
 
         def per_frame(fm_t, xy_t):
             pat = _sample_patches(fm_t, xy_t / scale, radius)  # (Q,k,k,C)
