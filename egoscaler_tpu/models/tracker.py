@@ -392,6 +392,12 @@ class SpaTrackerPredictor:
     params: dict
 
     def __post_init__(self):
+        # params arrive as HOST numpy from load_tracker_asset: without
+        # this one-time device_put every clip call re-uploads the whole
+        # tree through the axon relay (~26 MB for the scaled asset =
+        # ~400 ms/call — measured as the tracker stage's wall/device gap
+        # in round 5; the device compute itself is ~100 ms)
+        self.params = jax.tree_util.tree_map(jnp.asarray, self.params)
         self._window_fn = jax.jit(
             lambda p, c, d, q: self.model.apply(p, c, d, q)
         )
